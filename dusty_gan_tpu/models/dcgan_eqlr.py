@@ -1,0 +1,128 @@
+"""Equalized-LR DCGAN backbone for LiDAR range images, NHWC / TPU-native.
+
+Architecture parity with ``models/gans/dcgan_eqlr.py``:
+
+Generator (dcgan_eqlr.py:49-72), shape (64,256), in_ch=512:
+  z (B,512)
+  -> Proj: one MXU matmul to (B,4,16,512) + FusedLeakyReLU        [:6-16]
+  -> 3x Up: ring-pad 1; ConvT k4 s2 p3 (as lhs-dilated conv);
+     FusedLeakyReLU  -> (B,8,32,256)->(B,16,64,128)->(B,32,128,64) [:19-26]
+  -> Head per output key: ring-pad 1; ConvT k4 s2 p3 (with bias)   [:29-46]
+  -> tanh on "depth" only                                          [:69-72]
+
+Discriminator (dcgan_eqlr.py:75-96), in_ch=1:
+  x (B,64,256,1) -> BlurVH -> (B,64,256,2)
+  -> 4x Down: ring-pad 1; conv k4 s2 VALID; FusedLeakyReLU
+  -> EqualLR conv k(4,16) -> (B,1,1,1) logit
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dusty_gan_tpu.ops.blur import blur_vh
+from dusty_gan_tpu.ops.linear import (
+    EqualLRConv,
+    EqualLRConvTranspose,
+    EqualLRProj,
+    FusedLeakyReLU,
+)
+from dusty_gan_tpu.ops.padding import pad_ring
+
+
+def _hpad_mode(ring: bool) -> str:
+    return "circular" if ring else "reflect"
+
+
+class Up(nn.Module):
+    """ring-pad 1 -> ConvT(k4, s2, p=1+2) -> FusedLeakyReLU (dcgan_eqlr.py:19-26)."""
+
+    features: int
+    ring: bool = True
+
+    @nn.compact
+    def __call__(self, x, compute_dtype=None):
+        h = pad_ring(x, 1, horizontal=_hpad_mode(self.ring), vertical="reflect")
+        h = EqualLRConvTranspose(self.features, (4, 4), (2, 2), (3, 3), use_bias=False)(
+            h, compute_dtype
+        )
+        return FusedLeakyReLU(self.features)(h)
+
+
+class Head(nn.Module):
+    """Per-output-key ConvT head (dcgan_eqlr.py:29-46)."""
+
+    out_ch: Dict[str, int]
+    ring: bool = True
+
+    @nn.compact
+    def __call__(self, x, compute_dtype=None):
+        outs = {}
+        for name, ch in self.out_ch.items():
+            h = pad_ring(x, 1, horizontal=_hpad_mode(self.ring), vertical="reflect")
+            outs[name] = EqualLRConvTranspose(
+                ch, (4, 4), (2, 2), (3, 3), use_bias=True, name=f"head_{name}"
+            )(h, compute_dtype)
+        return outs
+
+
+class Generator(nn.Module):
+    in_ch: int = 512
+    out_ch: Any = None  # dict name->channels; default {"depth": 1}
+    ch_base: int = 64
+    ch_max: int = 512
+    shape: Sequence[int] = (64, 256)
+    ring: bool = True
+
+    def ch(self, i: int) -> int:
+        return min(self.ch_base << i, self.ch_max)
+
+    @nn.compact
+    def __call__(self, z, compute_dtype=None):
+        out_ch = dict(self.out_ch or {"depth": 1})
+        h0, w0 = self.shape[0] >> 4, self.shape[1] >> 4
+        h = EqualLRProj(self.ch(3), (h0, w0), name="proj")(z, compute_dtype)
+        h = FusedLeakyReLU(self.ch(3), name="proj_act")(h)
+        for idx, i in enumerate((2, 1, 0)):
+            h = Up(self.ch(i), self.ring, name=f"up{idx}")(h, compute_dtype)
+        outs = Head(out_ch, self.ring, name="head")(h, compute_dtype)
+        outs["depth"] = jnp.tanh(outs["depth"].astype(jnp.float32))
+        return outs
+
+
+class Down(nn.Module):
+    """ring-pad 1 -> conv k4 s2 VALID -> FusedLeakyReLU (dcgan_eqlr.py:75-82)."""
+
+    features: int
+    ring: bool = True
+
+    @nn.compact
+    def __call__(self, x, compute_dtype=None):
+        h = pad_ring(x, 1, horizontal=_hpad_mode(self.ring), vertical="reflect")
+        h = EqualLRConv(self.features, (4, 4), (2, 2), use_bias=False)(h, compute_dtype)
+        return FusedLeakyReLU(self.features)(h)
+
+
+class Discriminator(nn.Module):
+    in_ch: int = 1
+    ch_base: int = 64
+    ch_max: int = 512
+    shape: Sequence[int] = (64, 256)
+    ring: bool = True
+
+    def ch(self, i: int) -> int:
+        return min(self.ch_base << i, self.ch_max)
+
+    @nn.compact
+    def __call__(self, x, compute_dtype=None):
+        h_out, w_out = self.shape[0] >> 4, self.shape[1] >> 4
+        h = blur_vh(x, self.ring)
+        for idx in range(4):
+            h = Down(self.ch(idx), self.ring, name=f"down{idx}")(h, compute_dtype)
+        logit = EqualLRConv(1, (h_out, w_out), (1, 1), use_bias=True, name="final")(
+            h, compute_dtype
+        )
+        return logit.astype(jnp.float32)  # (B,1,1,1)
