@@ -1,0 +1,88 @@
+"""Benchmark: full GAN train step (D+R1+G+EMA) throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Protocol matches the reference training configuration exactly
+(configs/solver/nsgan_eqlr.yaml): DUSty-II generator + discriminator at
+64x256, global batch 32, nsgan + R1(weight 1, halved in code) + full
+DiffAugment policy + EMA, bf16 compute / f32 state.
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
+the denominator is BASELINE.md's documented estimate of the reference
+PyTorch DDP trainer on a 2021-class NVIDIA GPU (400 scans/sec).  The
+BASELINE.json north star is >=3x, i.e. vs_baseline >= 3.0.
+"""
+
+import json
+import os
+import time
+
+REFERENCE_GPU_SCANS_PER_SEC = 400.0  # documented estimate, see BASELINE.md
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dusty_gan_tpu.geometry.lidar import Lidar
+    from dusty_gan_tpu.models.dcgan_eqlr import Discriminator, Generator
+    from dusty_gan_tpu.models.dusty import DUSty2
+    from dusty_gan_tpu.train.state import create_train_state, make_optimizer
+    from dusty_gan_tpu.train.step import make_train_step
+
+    h, w, batch = 64, 256, 32
+    G = DUSty2(
+        backbone=Generator(in_ch=512, out_ch={"depth": 1, "confidence": 2},
+                           ch_base=64, ch_max=512, shape=(h, w)),
+        tau=1.0,
+    )
+    D = Discriminator(in_ch=1, ch_base=64, ch_max=512, shape=(h, w))
+    pitch = np.radians(np.linspace(2.0, -24.8, h))[:, None] * np.ones((1, w))
+    yaw = np.linspace(np.pi, -np.pi, w, endpoint=False)[None, :] * np.ones((h, 1))
+    lidar = Lidar.from_angle_array(
+        np.stack([pitch, yaw]).astype(np.float32), (h, w), 0.9, 120.0
+    )
+    opt_g = make_optimizer(2e-3, 0.0, 0.99)
+    opt_d = make_optimizer(2e-3, 0.0, 0.99)
+    step = make_train_step(
+        G, D, lidar, optimizer_g=opt_g, optimizer_d=opt_d, batch_size=batch,
+        loss_weight={"gan": 1.0, "gp": 1.0, "pl": 0.0},
+    )
+    state = create_train_state(
+        jax.random.PRNGKey(0), G, D, in_ch=512, image_shape=(h, w),
+        optimizer_g=opt_g, optimizer_d=opt_d, needs_gumbel=True,
+    )
+    rng = np.random.RandomState(0)
+    batch_data = {
+        "depth": jnp.asarray(rng.uniform(0.05, 1, (batch, h, w, 1)).astype(np.float32)),
+        "mask": jnp.asarray((rng.uniform(size=(batch, h, w, 1)) > 0.1).astype(np.float32)),
+    }
+
+    jstep = jax.jit(step, donate_argnums=(0,))
+    key = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    state, _ = jstep(state, batch_data, key)
+    jax.block_until_ready(state.params_G)
+
+    n_iters = 50
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        state, scalars = jstep(state, batch_data, jax.random.fold_in(key, i))
+    jax.block_until_ready(state.params_G)
+    dt = (time.perf_counter() - t0) / n_iters
+
+    scans_per_sec = batch / dt
+    print(json.dumps({
+        "metric": "train_step_scans_per_sec",
+        "value": round(scans_per_sec, 2),
+        "unit": "scans/sec/chip (G+D step, 64x256, batch 32)",
+        "vs_baseline": round(scans_per_sec / REFERENCE_GPU_SCANS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,198 @@
+"""Datasets: KITTI Odometry and Sparse MPO range-image collections.
+
+Parity with ``datasets/kitti.py`` / ``datasets/mpo.py``: pre-projected
+(H0, W0, 4) .npy scans -> {depth [0,1], mask, xyz (unit space)} at the
+model resolution via NEAREST subsampling, with the same split maps and the
+same value pipeline (depth = ||xyz||, [min,max] gate, invalid zeroed,
+optional horizontal flip at full resolution before resize).
+
+TPU-first difference: an optional one-time resized cache — the reference
+re-resizes 64x2048 -> 64x256 on EVERY epoch in its DataLoader workers
+(datasets/kitti.py:70-77); here the resized arrays are memmapped from a
+single .npz-style cache so per-step host work is a slice + collate
+(important with few host cores feeding a fast chip).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import os.path as osp
+from glob import glob
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+KITTI_SPLIT = {
+    "train": [0, 1, 2, 3, 4, 5, 6, 7, 9, 10],
+    "val": [8],
+    "test": [11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21],
+    "custom": [16],
+}
+
+MPO_SPLIT = {
+    "train": [0, 1, 2, 3, 4, 5, 6],
+    "val": [7],
+    "test": [8, 9, 10],
+}
+
+
+def nearest_resize_indices(in_size: int, out_size: int) -> np.ndarray:
+    """torch F.interpolate(mode="nearest") index map: src = floor(dst*in/out)
+    — the tensor path taken by the reference's TF.resize(..., NEAREST) on
+    to_tensor outputs (datasets/kitti.py:70-77)."""
+    return np.floor(np.arange(out_size) * (in_size / out_size)).astype(np.int64)
+
+
+class RangeImageDataset:
+    """Base: list of .npy scan paths + value pipeline."""
+
+    def __init__(
+        self,
+        root: str,
+        split: str,
+        shape=(64, 256),
+        min_depth: float = 0.9,
+        max_depth: float = 120.0,
+        flip: bool = False,
+        modality: Sequence[str] = ("depth",),
+        cache_dir: Optional[str] = None,
+    ):
+        self.root = root
+        self.split = split
+        self.shape = tuple(shape)
+        self.min_depth = float(min_depth)
+        self.max_depth = float(max_depth)
+        self.flip = flip
+        assert "depth" in modality, '"depth" is required'
+        self.modality = tuple(modality)
+        self.datalist = self._load_datalist()
+        self._cache = None
+        if cache_dir is not None and len(self.datalist) > 0:
+            self._build_cache(cache_dir)
+
+    # subclasses provide the file list
+    def _load_datalist(self):
+        raise NotImplementedError
+
+    def __len__(self):
+        return len(self.datalist)
+
+    # ------------------------------------------------------------------
+    def _load_raw(self, index: int) -> np.ndarray:
+        return np.load(self.datalist[index]).astype(np.float32)
+
+    def _process(self, points: np.ndarray, flip: bool) -> Dict[str, np.ndarray]:
+        """Full-res value pipeline + flip + NEAREST subsample. NHWC-style
+        (H, W, C) / (H, W) arrays."""
+        out = {"xyz": points[..., :3]}
+        if "reflectance" in self.modality:
+            out["reflectance"] = points[..., 3:4]
+        depth = np.linalg.norm(out["xyz"], ord=2, axis=2)
+        mask = (depth > 0.0) & (depth > self.min_depth) & (depth < self.max_depth)
+        depth = (depth - self.min_depth) / (self.max_depth - self.min_depth)
+        out["depth"] = depth
+        out["mask"] = mask.astype(np.float32)
+        out["xyz"] = out["xyz"] / self.max_depth
+        for key in out:
+            out[key] = np.where(
+                mask[..., None] if out[key].ndim == 3 else mask, out[key], 0
+            ).astype(np.float32)
+
+        h0, w0 = out["depth"].shape
+        if flip:
+            out = {k: np.ascontiguousarray(v[:, ::-1]) for k, v in out.items()}
+        hi = nearest_resize_indices(h0, self.shape[0])
+        wi = nearest_resize_indices(w0, self.shape[1])
+        out = {k: v[hi][:, wi] for k, v in out.items()}
+        # single-channel images get a trailing channel axis
+        for k in ("depth", "mask"):
+            out[k] = out[k][..., None]
+        return out
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        do_flip = self.flip and np.random.random() > 0.5
+        if self._cache is not None and not do_flip:
+            return {k: v[index] for k, v in self._cache.items()}
+        # flip happens at FULL resolution before the nearest subsample
+        # (datasets/kitti.py:70-77), so flipped items bypass the cache
+        return self._process(self._load_raw(index), do_flip)
+
+    # ------------------------------------------------------------------
+    def _cache_key(self) -> str:
+        sig = "|".join(
+            [
+                self.__class__.__name__,
+                self.split,
+                str(self.shape),
+                str(self.min_depth),
+                str(self.max_depth),
+                ",".join(self.modality),
+                str(len(self.datalist)),
+            ]
+        )
+        return hashlib.sha1(sig.encode()).hexdigest()[:16]
+
+    def _build_cache(self, cache_dir: str):
+        os.makedirs(cache_dir, exist_ok=True)
+        path = osp.join(cache_dir, f"resized_{self._cache_key()}.npz")
+        keys = ["depth", "mask", "xyz"] + (
+            ["reflectance"] if "reflectance" in self.modality else []
+        )
+        if not osp.exists(path):
+            buf = {k: [] for k in keys}
+            for i in range(len(self.datalist)):
+                item = self._process(self._load_raw(i), flip=False)
+                for k in keys:
+                    buf[k].append(item[k])
+            np.savez(path, **{k: np.stack(v) for k, v in buf.items()})
+        loaded = np.load(path, mmap_mode=None)
+        self._cache = {k: loaded[k] for k in keys}
+
+    def __repr__(self):
+        return (
+            f"{self.__class__.__name__}(n={len(self)}, root={self.root}, "
+            f"split={self.split}, shape={self.shape})"
+        )
+
+
+class KITTIOdometry(RangeImageDataset):
+    """datasets/kitti.py:20-98; sequences 00-10 train (minus 08=val),
+    11-21 test."""
+
+    def _load_datalist(self):
+        datalist = []
+        for subset in KITTI_SPLIT[self.split]:
+            subset_dir = osp.join(self.root, "sequences", str(subset).zfill(2))
+            datalist += sorted(glob(osp.join(subset_dir, "velodyne/*")))
+        return datalist
+
+
+class SparseMPO(RangeImageDataset):
+    """datasets/mpo.py:19-98; file glob ``*_set{NNN}_*.npy``."""
+
+    def _load_datalist(self):
+        datalist = []
+        for subset in MPO_SPLIT[self.split]:
+            pattern = "*_set{}_*.npy".format(str(subset).zfill(3))
+            datalist += sorted(glob(osp.join(self.root, "Data", pattern)))
+        return datalist
+
+
+def define_dataset(cfg, phase: str = "train", modality=("depth",), cache_dir=None):
+    """datasets/__init__.py:4-27 dispatch; accepts dict or attr configs."""
+    get = (lambda k: cfg[k]) if isinstance(cfg, dict) else (lambda k: getattr(cfg, k))
+    name = get("name")
+    cls = {"kitti_odometry": KITTIOdometry, "sparse_mpo": SparseMPO}.get(name)
+    if cls is None:
+        raise NotImplementedError(name)
+    return cls(
+        root=get("root"),
+        split=phase,
+        shape=tuple(get("shape")),
+        min_depth=get("min_depth"),
+        max_depth=get("max_depth"),
+        flip=bool(get("flip")) and phase == "train",
+        modality=modality,
+        cache_dir=cache_dir,
+    )

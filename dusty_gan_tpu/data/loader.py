@@ -1,0 +1,92 @@
+"""Host-side batch loader with background prefetch.
+
+Replaces the reference's ``DataLoader(num_workers=8) + DistributedSampler +
+cycle`` stack (trainers/dcgan_amp.py:81-97): epoch-shuffled, per-host
+sharded, drop-last batch iteration with a double-buffered prefetch thread
+so collation overlaps the device step.  Sharding across hosts is a
+deterministic slice of the shuffled epoch permutation keyed on
+``jax.process_index()`` (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+class Loader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
+        self.prefetch = prefetch
+        assert self.batch_size % process_count == 0
+
+    def __len__(self):
+        n = len(self.dataset) // self.process_count
+        if self.drop_last:
+            return n // (self.batch_size // self.process_count)
+        b = self.batch_size // self.process_count
+        return (n + b - 1) // b
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + epoch)
+            perm = rng.permutation(n)
+        else:
+            perm = np.arange(n)
+        # contiguous per-host shard of the shuffled permutation
+        per = n // self.process_count
+        return perm[self.process_index * per : (self.process_index + 1) * per]
+
+    def _collate(self, idxs) -> Dict[str, np.ndarray]:
+        items = [self.dataset[int(i)] for i in idxs]
+        return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        idx = self._epoch_indices(epoch)
+        b = self.batch_size // self.process_count
+        end = len(idx) - (len(idx) % b) if self.drop_last else len(idx)
+        for i in range(0, end, b):
+            yield self._collate(idx[i : i + b])
+
+    def __iter__(self):
+        """Infinite epoch-cycling iterator (utils/__init__.py:110-114) with
+        background prefetch."""
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            epoch = 0
+            while not stop.is_set():
+                for batch in self.epoch(epoch):
+                    if stop.is_set():
+                        return
+                    q.put(batch)
+                epoch += 1
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()

@@ -1,0 +1,146 @@
+"""Offline KITTI preprocessing: raw .bin scans -> (64, 2048, 4) range images
+plus the dataset-mean angle grid.
+
+Port of ``process_kitti.py`` with the same algorithm, vectorized NumPy
+instead of numba/joblib (no JIT warmup, no process pool needed):
+
+* scan-line segmentation by quadrant-transition detection
+  (process_kitti.py:88-106): the velodyne packet stream is ordered
+  counterclockwise per revolution, so a jump from the 4th quadrant back to
+  the 1st marks a new laser ring;
+* yaw binning to W columns (process_kitti.py:109-112);
+* painter's-order scatter: points sorted far-to-near so the nearest point
+  wins each pixel (process_kitti.py:60-73,86);
+* dataset-mean per-pixel (pitch, yaw) angle grid with NaN infill from
+  row/column means (process_kitti.py:143-183).
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from glob import glob
+
+import numpy as np
+
+
+def project_scan(points: np.ndarray, H: int = 64, W: int = 2048) -> np.ndarray:
+    """(N, C>=3) xyz[+extras] -> (H, W, C) range image. Nearest point wins."""
+    xyz = points[:, :3]
+    x, y = xyz[:, 0], xyz[:, 1]
+    depth = np.linalg.norm(xyz, ord=2, axis=1)
+    order = np.argsort(-depth)  # far first
+
+    quads = np.zeros_like(x, dtype=np.int32)
+    quads[(x < 0) & (y >= 0)] = 1
+    quads[(x < 0) & (y < 0)] = 2
+    quads[(x >= 0) & (y < 0)] = 3
+
+    diff = np.roll(quads, 1) - quads
+    (start_inds,) = np.where(diff == 3)  # 4th -> 1st quadrant transition
+    n_lines = len(start_inds)
+
+    # segment id for each point; points before the first start stay row 0
+    seg = np.searchsorted(start_inds, np.arange(len(quads)), side="right") - 1
+    grid_h = np.where(seg < 0, 0, (H - n_lines) + seg)
+    grid_h = np.clip(grid_h, 0, H - 1)
+
+    yaw = -np.arctan2(y, x)
+    grid_w = np.floor(((yaw / np.pi + 1.0) / 2.0 % 1.0) * W).astype(np.int64)
+    grid_w = np.clip(grid_w, 0, W - 1)
+
+    proj = np.zeros((H, W, points.shape[1]), dtype=points.dtype)
+    # duplicate fancy-index assignment: LAST write wins == nearest point
+    proj[grid_h[order], grid_w[order]] = points[order]
+    return proj
+
+
+def process_bin_file(point_path: str, save_path: str, H: int = 64, W: int = 2048):
+    points = np.fromfile(point_path, dtype=np.float32).reshape(-1, 4)
+    proj = project_scan(points, H, W)
+    os.makedirs(osp.dirname(save_path), exist_ok=True)
+    np.save(save_path, proj)
+    return proj
+
+
+def _nan_mean(arr: np.ndarray, axis: int) -> np.ndarray:
+    valid = np.isfinite(arr)
+    s = np.where(valid, arr, 0.0).sum(axis=axis, keepdims=True)
+    c = valid.sum(axis=axis, keepdims=True)
+    return s / np.maximum(c, 1)
+
+
+def compute_avg_angles(scan_iter, min_depth: float = 0.9, max_depth: float = 120.0):
+    """Mean per-pixel (pitch, yaw) over a dataset of (H, W, >=3) xyz range
+    images in METERS (process_kitti.py:143-183). Returns (2, H, W).
+
+    The reference feeds pre-masked dataset tensors (invalid pixels zeroed
+    by the [min_depth, max_depth] gate, datasets/kitti.py:56-67), so the
+    same gate is applied here."""
+    total_valid = None
+    sum_pitch = sum_yaw = None
+    total_data = 0
+    for xyz in scan_iter:
+        xyz = np.asarray(xyz, np.float64)
+        x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+        depth = np.sqrt(x**2 + y**2 + z**2)
+        valid = ((depth > min_depth) & (depth < max_depth)).astype(np.float64)
+        r = np.sqrt(x**2 + y**2)
+        pitch = np.arctan2(z, r)
+        yaw = np.arctan2(y, x)
+        if total_valid is None:
+            total_valid = np.zeros_like(valid)
+            sum_pitch = np.zeros_like(valid)
+            sum_yaw = np.zeros_like(valid)
+        total_valid += valid
+        sum_pitch += pitch * valid
+        sum_yaw += yaw * valid
+        total_data += 1
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        pitch = sum_pitch / total_valid
+        yaw = sum_yaw / total_valid
+    angles = np.stack([pitch, yaw], axis=0)
+
+    mean_pitch = np.broadcast_to(_nan_mean(pitch, axis=1), pitch.shape)
+    mean_yaw = np.broadcast_to(_nan_mean(yaw, axis=0), yaw.shape)
+    mean_angles = np.stack([mean_pitch, mean_yaw], axis=0)
+
+    valid_pix = (total_valid > 0).astype(np.float64)[None]
+    angles = np.nan_to_num(angles, nan=0.0)
+    angles = valid_pix * angles + (1.0 - valid_pix) * mean_angles
+    assert np.isfinite(angles).all()
+    return angles.astype(np.float32)
+
+
+def process_kitti_root(root_dir: str, H: int = 64, W: int = 2048, verbose: bool = True):
+    """Full offline build (process_kitti.py:186-222): project every
+    sequence's .bin files into ``<root>/dusty-gan/sequences`` and write
+    ``angles.npy`` (+ ``angles.pt`` when torch is available)."""
+    split_dirs = sorted(glob(osp.join(root_dir, "dataset/sequences", "*")))
+    for split_dir in split_dirs:
+        for point_path in sorted(glob(osp.join(split_dir, "velodyne", "*.bin"))):
+            save_path = point_path.replace("dataset/sequences", "dusty-gan/sequences")
+            save_path = save_path.replace(".bin", ".npy")
+            process_bin_file(point_path, save_path, H, W)
+        if verbose:
+            print("projected:", split_dir)
+
+    # mean angles over the train split at full resolution
+    train_seqs = [0, 1, 2, 3, 4, 5, 6, 7, 9, 10]
+
+    def scans():
+        for seq in train_seqs:
+            seq_dir = osp.join(root_dir, "dusty-gan/sequences", str(seq).zfill(2))
+            for p in sorted(glob(osp.join(seq_dir, "velodyne/*.npy"))):
+                yield np.load(p)[..., :3]
+
+    angles = compute_avg_angles(scans())
+    np.save(osp.join(root_dir, "angles.npy"), angles)
+    try:
+        import torch
+
+        torch.save(torch.from_numpy(angles), osp.join(root_dir, "angles.pt"))
+    except ImportError:
+        pass
+    return angles

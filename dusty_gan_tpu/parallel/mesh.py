@@ -1,0 +1,57 @@
+"""Device-mesh data parallelism.
+
+The reference's entire distributed stack — one process per GPU via
+``mp.spawn`` (train.py:186), NCCL process groups (train.py:44-50), DDP
+gradient buckets with ``no_sync`` accumulation (trainers/dcgan_amp.py:68-69,
+utils/context_manager.py:21-35), ``DistributedSampler`` input sharding and
+explicit ``dist.all_reduce`` of logging scalars (dcgan_amp.py:319-323) —
+collapses on TPU to: a 1-D ``Mesh('data')``, batch inputs sharded over it,
+parameters replicated, and XLA inserting ICI all-reduces inside the single
+compiled train step.  Multi-host runs only add
+``jax.distributed.initialize()`` plus per-host batch slicing
+(``local_batch_slice``); multi-slice runs get DCN collectives from XLA with
+no code change.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def create_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Place a host batch pytree on the mesh, sharded on the leading axis."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def local_batch_slice(global_batch: int, process_index: Optional[int] = None,
+                      process_count: Optional[int] = None) -> slice:
+    """This host's slice of the global batch (replaces DistributedSampler,
+    trainers/dcgan_amp.py:87)."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    assert global_batch % pc == 0, (global_batch, pc)
+    per = global_batch // pc
+    return slice(pi * per, (pi + 1) * per)

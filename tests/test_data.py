@@ -1,0 +1,187 @@
+"""Data layer tests: preprocessing projection, dataset value pipeline
+(parity vs the reference torch dataset on identical files), loader."""
+
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from tests.conftest import load_reference_module
+from dusty_gan_tpu.data.datasets import (
+    KITTIOdometry,
+    define_dataset,
+    nearest_resize_indices,
+)
+from dusty_gan_tpu.data.loader import Loader
+from dusty_gan_tpu.data.preprocess import compute_avg_angles, project_scan
+from dusty_gan_tpu.data.synthetic import build_synthetic_kitti
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti_synth")
+    return build_synthetic_kitti(str(root), n_scans_per_seq=6, w0=512)
+
+
+class TestProjection:
+    def test_nearest_point_wins(self):
+        # two points on the same ray, different depths -> nearest kept
+        far = np.array([[10.0, 0.0, 0.0, 0.1]], np.float32)
+        near = np.array([[5.0, 0.0, 0.0, 0.2]], np.float32)
+        pts = np.concatenate([near, far])
+        proj = project_scan(pts, H=4, W=8)
+        nz = proj[np.linalg.norm(proj[..., :3], axis=-1) > 0]
+        assert len(nz) == 1
+        np.testing.assert_allclose(nz[0], near[0])
+
+    def test_scanline_segmentation(self):
+        # 2 revolutions ordered counterclockwise in atan2(y,x) (the packet
+        # ordering the detector assumes) -> 2 rows used (bottom rows)
+        theta = np.linspace(0.01, 2 * np.pi - 0.01, 64)
+        rows = []
+        for rev in range(2):
+            z = -0.1 * (rev + 1)
+            pts = np.stack(
+                [np.cos(theta), np.sin(theta), z * np.ones_like(theta),
+                 np.ones_like(theta)],
+                axis=-1,
+            )
+            rows.append(pts)
+        pts = np.concatenate(rows).astype(np.float32)
+        proj = project_scan(pts, H=4, W=64)
+        used_rows = np.unique(np.nonzero(np.linalg.norm(proj[..., :3], axis=-1))[0])
+        assert used_rows.tolist() == [2, 3]
+
+    def test_avg_angles_finite_and_shape(self, synth_root):
+        import glob
+
+        scans = [
+            np.load(p)[..., :3]
+            for p in sorted(
+                glob.glob(osp.join(synth_root, "sequences/00/velodyne/*.npy"))
+            )
+        ]
+        angles = compute_avg_angles(iter(scans))
+        assert angles.shape == (2, 64, 512)
+        assert np.isfinite(angles).all()
+        # pitch decreases from top row to bottom
+        assert angles[0, 0].mean() > angles[0, -1].mean()
+
+
+def _install_torchvision_shim(torch):
+    """Faithful 3-function shim of torchvision.transforms.functional (not
+    installed here) so the reference dataset file runs unmodified."""
+    import sys
+    import types
+
+    if "torchvision" in sys.modules:
+        return
+    tf = types.ModuleType("torchvision.transforms.functional")
+
+    def to_tensor(x):
+        t = torch.from_numpy(np.ascontiguousarray(x))
+        if t.ndim == 2:
+            t = t[None]
+        else:
+            t = t.permute(2, 0, 1)
+        return t.contiguous()
+
+    def hflip(t):
+        return torch.flip(t, dims=[-1])
+
+    def resize(t, size, interpolation=None):
+        import torch.nn.functional as F
+
+        return F.interpolate(t[None].float(), size=tuple(size), mode="nearest")[0]
+
+    tf.to_tensor, tf.hflip, tf.resize = to_tensor, hflip, resize
+    tv = types.ModuleType("torchvision")
+    trans = types.ModuleType("torchvision.transforms")
+    trans.functional = tf
+    tv.transforms = trans
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = trans
+    sys.modules["torchvision.transforms.functional"] = tf
+    # datasets/kitti.py also imports PIL.Image just for the NEAREST constant
+    # (PIL is available, nothing to shim)
+
+
+class TestDatasetParity:
+    def test_matches_reference_pipeline(self, torch, synth_root):
+        _install_torchvision_shim(torch)
+        ref_kitti = load_reference_module("datasets/kitti.py", "ref_kitti")
+        shape = (64, 256)
+        ref_ds = ref_kitti.KITTIOdometry(
+            root=str(synth_root), split="train", shape=shape, flip=False
+        )
+        mine = KITTIOdometry(root=str(synth_root), split="train", shape=shape)
+        assert len(ref_ds) == len(mine) > 0
+        for i in (0, len(mine) - 1):
+            ref = ref_ds[i]
+            got = mine[i]
+            np.testing.assert_allclose(
+                got["depth"][..., 0], ref["depth"].numpy()[0], rtol=1e-5, atol=1e-6
+            )
+            np.testing.assert_allclose(
+                got["mask"][..., 0], ref["mask"].numpy()[0], rtol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.transpose(got["xyz"], (2, 0, 1)), ref["xyz"].numpy(), rtol=1e-5,
+                atol=1e-6,
+            )
+
+    def test_cache_equivalent(self, synth_root, tmp_path):
+        plain = KITTIOdometry(root=str(synth_root), split="train", shape=(64, 256))
+        cached = KITTIOdometry(
+            root=str(synth_root), split="train", shape=(64, 256),
+            cache_dir=str(tmp_path),
+        )
+        for i in (0, 2):
+            a, b = plain[i], cached[i]
+            for k in a:
+                np.testing.assert_allclose(a[k], b[k], err_msg=k)
+
+    def test_define_dataset(self, synth_root):
+        cfg = {
+            "name": "kitti_odometry", "root": str(synth_root), "shape": (64, 256),
+            "min_depth": 0.9, "max_depth": 120.0, "flip": False,
+        }
+        ds = define_dataset(cfg, phase="val")
+        assert len(ds) > 0
+
+    def test_nearest_indices_match_torch(self, torch):
+        import torch.nn.functional as F
+
+        x = np.random.RandomState(0).randn(1, 1, 64, 512).astype(np.float32)
+        ref = F.interpolate(torch.from_numpy(x), size=(64, 256), mode="nearest").numpy()
+        hi = nearest_resize_indices(64, 64)
+        wi = nearest_resize_indices(512, 256)
+        got = x[:, :, hi][:, :, :, wi]
+        np.testing.assert_array_equal(got, ref)
+
+
+class TestLoader:
+    def test_epoch_batches(self, synth_root):
+        ds = KITTIOdometry(root=str(synth_root), split="train", shape=(64, 256))
+        loader = Loader(ds, batch_size=4, shuffle=True, seed=0)
+        batches = list(loader.epoch(0))
+        assert len(batches) == len(ds) // 4
+        b = batches[0]
+        assert b["depth"].shape == (4, 64, 256, 1)
+        assert b["mask"].shape == (4, 64, 256, 1)
+
+    def test_host_sharding_partitions(self, synth_root):
+        ds = KITTIOdometry(root=str(synth_root), split="train", shape=(64, 256))
+        a = Loader(ds, batch_size=2, seed=0, process_index=0, process_count=2)
+        b = Loader(ds, batch_size=2, seed=0, process_index=1, process_count=2)
+        ia = a._epoch_indices(0)
+        ib = b._epoch_indices(0)
+        assert set(ia).isdisjoint(set(ib))
+
+    def test_infinite_iter(self, synth_root):
+        ds = KITTIOdometry(root=str(synth_root), split="train", shape=(64, 256))
+        loader = Loader(ds, batch_size=4)
+        it = iter(loader)
+        for _ in range(2 * len(loader) + 1):  # crosses epoch boundary
+            batch = next(it)
+        assert batch["depth"].shape[0] == 4
