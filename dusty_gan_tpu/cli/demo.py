@@ -1,0 +1,227 @@
+"""Demo CLI — the reference ``demo.py`` is a Streamlit app (synthesis with
+latent interpolation + inversion with corruptions and multi-code
+mGANprior).  Streamlit isn't in this image, so the same capabilities ship
+as a headless CLI that writes PNG panels; when streamlit IS importable the
+same functions can back an interactive app.
+
+    python -m dusty_gan_tpu.cli.demo synthesis \
+        --model-path … --config-path … [--latent-type random|lerp|slerp]
+        [--num-samples 8] [--out demo_out]
+
+    python -m dusty_gan_tpu.cli.demo inversion \
+        --model-path … --config-path … [--corruption dropout|closing|…]
+        [--distance l1|l2|chamfer] [--num-code 1] [--num-step 1000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+
+import numpy as np
+
+
+def _save_png(path, img):
+    from PIL import Image
+
+    img = np.asarray(np.clip(img, 0, 1) * 255, np.uint8)
+    if img.shape[-1] == 1:
+        img = np.repeat(img, 3, -1)
+    Image.fromarray(img).save(path)
+
+
+COLOR_SCALE = 1 / 0.4  # demo.py's color_scale for inverse depth
+
+
+def synthesis(args):
+    import jax
+    import jax.numpy as jnp
+
+    from dusty_gan_tpu.geometry.render import render_point_clouds
+    from dusty_gan_tpu.utils.inversion import lerp, slerp
+    from dusty_gan_tpu.utils.postprocess import colorize, postprocess
+    from dusty_gan_tpu.utils.setup import make_eval_generator, setup
+
+    cfg, G, params, lidar, fixed_noise = setup(args.model_path, args.config_path)
+    gen = make_eval_generator(G, params, fixed_noise)
+    key = jax.random.PRNGKey(args.seed)
+    n = args.num_samples
+
+    if args.latent_type == "random":
+        latent = jax.random.normal(key, (n, int(cfg.model.gen.in_ch)))
+    else:
+        ends = jax.random.normal(key, (2, int(cfg.model.gen.in_ch)))
+        f = lerp if args.latent_type == "lerp" else slerp
+        latent = jnp.concatenate(
+            [f(w, ends[:1], ends[1:]) for w in np.linspace(0, 1, n)], axis=0
+        )
+
+    out = postprocess(gen(latent), lidar)
+    os.makedirs(args.out, exist_ok=True)
+    panels = []
+    if "depth_orig" in out:
+        panels.append(("inverse_depth", colorize(np.asarray(out["depth_orig"]) * COLOR_SCALE)))
+    if "confidence" in out:
+        conf = np.asarray(out["confidence"])
+        if conf.shape[-1] == 2:
+            panels.append(("measurability_pix", colorize(conf[..., :1])))
+            panels.append(("measurability_img", colorize(conf[..., 1:])))
+        else:
+            panels.append(("measurability", colorize(conf)))
+    if "mask" in out:
+        mask = np.asarray(out["mask"])
+        panels.append(("mask", np.repeat(mask.prod(-1, keepdims=True), 3, -1)))
+    panels.append(("inverse_depth_with_drops", colorize(np.asarray(out["depth"]) * COLOR_SCALE)))
+    panels.append(("point_normal", np.asarray(out["normals"])))
+    pts = np.asarray(out["points"]).reshape(n, -1, 3)
+    nrm = np.asarray(out["normals"]).reshape(n, -1, 3)
+    bev = np.asarray(render_point_clouds(pts, nrm, L=512, t=np.asarray([0, 0, 0.5], np.float32)))
+    panels.append(("point_clouds_bev", bev))
+
+    for i in range(n):
+        for name, tensor in panels:
+            _save_png(osp.join(args.out, f"{i:02d}_{name}.png"), tensor[i])
+    print(f"wrote {n * len(panels)} panels to {args.out}")
+
+
+def inversion(args):
+    import jax
+    import jax.numpy as jnp
+
+    from dusty_gan_tpu.data.datasets import define_dataset
+    from dusty_gan_tpu.geometry.lidar import tanh_to_sigmoid
+    from dusty_gan_tpu.metrics.chamfer import chamfer_distance
+    from dusty_gan_tpu.models import losses
+    from dusty_gan_tpu.utils.corruption import apply_corruption
+    from dusty_gan_tpu.utils.inversion import make_inversion_loop, project_sphere
+    from dusty_gan_tpu.utils.postprocess import colorize, postprocess
+    from dusty_gan_tpu.utils.setup import make_eval_generator, setup
+
+    cfg, G, params, lidar, fixed_noise = setup(args.model_path, args.config_path)
+    gen = make_eval_generator(G, params, fixed_noise)
+    is_dusty = "dusty" in str(cfg.model.gen.arch)
+    key = jax.random.PRNGKey(args.seed)
+
+    ds = define_dataset(cfg.dataset, phase="test")
+    item = ds[args.index]
+    dep_ref = jnp.asarray(item["depth"])[None]  # [0,1] depth, NHWC
+    mask_ref = jnp.asarray(item["mask"])[None]
+
+    inv_ref = lidar.invert_depth(dep_ref) * mask_ref
+    dep_c, mask_c = apply_corruption(key, inv_ref, mask_ref, args.corruption)
+    inv_c, mask_c = dep_c * mask_c, mask_c
+    pts_ref = lidar.inv_to_xyz(inv_c, 1e-8).reshape(1, -1, 3)
+
+    distances = args.distance.split(",")
+
+    def loss_fn(latent):
+        if args.num_code > 1:
+            z, alpha = latent["z"], latent["alpha"]
+            out = G.apply(
+                params, z, compute_dtype=jnp.float32,
+                compose_layer=args.compose_layer, compose_alpha=alpha,
+            ) if not is_dusty else _dusty_compose(z, alpha)
+        else:
+            out = gen(latent)
+        inv_gen = tanh_to_sigmoid(out["depth_orig"] if is_dusty else out["depth"])
+        loss = 0.0
+        if "chamfer" in distances:
+            pts_gen = lidar.inv_to_xyz(inv_gen, 1e-8).reshape(1, -1, 3)
+            dl, dr = chamfer_distance(pts_ref, pts_gen)
+            loss = loss + dl.mean(1) + dr.mean(1)
+        if "l1" in distances:
+            loss = loss + losses.masked_loss(inv_c, inv_gen, mask_c, "l1")
+        if "l2" in distances:
+            loss = loss + losses.masked_loss(inv_c, inv_gen, mask_c, "l2")
+        return loss
+
+    def _dusty_compose(z, alpha):
+        # DUSty wrappers forward extra kwargs to the backbone via apply on
+        # the full model; composition happens inside the backbone.
+        return G.apply(
+            params, z, compute_dtype=jnp.float32, train=False,
+            fixed_noise=fixed_noise, rngs={"gumbel": jax.random.PRNGKey(0)},
+        )
+
+    if args.num_code > 1:
+        # multi-code optimization: latent is a pytree {z, alpha}
+        feature_ch = 512 if args.compose_layer == 0 else [256, 128, 64][args.compose_layer - 1]
+        z0 = {
+            "z": project_sphere(jax.random.normal(key, (args.num_code, int(cfg.model.gen.in_ch)))),
+            "alpha": jnp.full((args.num_code, 1, 1, feature_ch), 1.0 / args.num_code),
+        }
+        import optax
+
+        opt = optax.multi_transform(
+            {"z": optax.adam(0.1), "alpha": optax.adam(0.001)},
+            {"z": "z", "alpha": "alpha"},
+        )
+        opt_state = opt.init(z0)
+        lat = z0
+        for i in range(args.num_step):
+            grads = jax.grad(lambda l: jnp.sum(loss_fn(l)))(lat)
+            updates, opt_state = opt.update(grads, opt_state, lat)
+            lat = optax.apply_updates(lat, updates)
+            lat["z"] = project_sphere(lat["z"])
+        out = G.apply(
+            params, lat["z"], compute_dtype=jnp.float32,
+            compose_layer=args.compose_layer, compose_alpha=lat["alpha"],
+        )
+    else:
+        run = jax.jit(make_inversion_loop(loss_fn, num_steps=args.num_step, lr=0.1))
+        z0 = jax.random.normal(key, (1, int(cfg.model.gen.in_ch)))
+        z_star, final_loss = run(z0, jax.random.fold_in(key, 1))
+        print("final loss:", np.asarray(final_loss))
+        out = gen(z_star)
+
+    out = postprocess(out, lidar)
+    os.makedirs(args.out, exist_ok=True)
+    _save_png(osp.join(args.out, "ref_inv.png"),
+              colorize(np.asarray(inv_ref) * COLOR_SCALE)[0])
+    _save_png(osp.join(args.out, "ref_inv_corrupted.png"),
+              colorize(np.asarray(inv_c * mask_c) * COLOR_SCALE)[0])
+    _save_png(osp.join(args.out, "gen_inv.png"),
+              colorize(np.asarray(out["depth"]) * COLOR_SCALE)[0])
+    if "depth_orig" in out:
+        _save_png(osp.join(args.out, "gen_inv_orig.png"),
+                  colorize(np.asarray(out["depth_orig"]) * COLOR_SCALE)[0])
+    _save_png(osp.join(args.out, "gen_normals.png"), np.asarray(out["normals"])[0])
+    print("wrote inversion panels to", args.out)
+
+
+def main(argv=None):
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    parser = argparse.ArgumentParser()
+    sub = parser.add_subparsers(dest="mode", required=True)
+
+    ps = sub.add_parser("synthesis")
+    ps.add_argument("--model-path", required=True)
+    ps.add_argument("--config-path", required=True)
+    ps.add_argument("--num-samples", type=int, default=8)
+    ps.add_argument("--latent-type", choices=["random", "lerp", "slerp"], default="random")
+    ps.add_argument("--seed", type=int, default=0)
+    ps.add_argument("--out", default="demo_out/synthesis")
+    ps.set_defaults(fn=synthesis)
+
+    pi = sub.add_parser("inversion")
+    pi.add_argument("--model-path", required=True)
+    pi.add_argument("--config-path", required=True)
+    pi.add_argument("--index", type=int, default=0)
+    pi.add_argument("--corruption", default="none",
+                    choices=["none", "additive noise", "low resolution", "dropout",
+                             "closing", "half", "quarter", "vlines"])
+    pi.add_argument("--distance", default="l1")  # comma-separated: l1,l2,chamfer
+    pi.add_argument("--num-code", type=int, default=1)
+    pi.add_argument("--compose-layer", type=int, default=1)
+    pi.add_argument("--num-step", type=int, default=1000)
+    pi.add_argument("--seed", type=int, default=0)
+    pi.add_argument("--out", default="demo_out/inversion")
+    pi.set_defaults(fn=inversion)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

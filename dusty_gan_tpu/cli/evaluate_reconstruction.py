@@ -1,0 +1,131 @@
+"""Reconstruction (GAN inversion) evaluation CLI — mirrors the reference
+``evaluate_reconstruction.py``:
+
+    python -m dusty_gan_tpu.cli.evaluate_reconstruction \
+        --model-path <ckpt|.pth> --config-path <cfg> [--tol 0]
+        [--batch-size 512] [--distance l1]
+
+Protocol parity (evaluate_reconstruction.py:18-165): per test batch,
+optimize a spherical latent (Adam lr 0.1, StyleGAN2 cosine-ramp schedule,
+decaying latent noise, 1000 steps) against the masked L1/L2 on
+``depth_orig`` (DUSty) or ``depth`` (baseline); then CD + depth errors/
+accuracies + drop-rate statistics -> CSV.
+
+The reference parallelizes via nn.DataParallel; here the whole 1000-step
+loop is one jitted ``fori_loop`` per batch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import os.path as osp
+from collections import defaultdict
+
+import numpy as np
+
+
+def main(argv=None):
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model-path", type=str, required=True)
+    parser.add_argument("--config-path", type=str, required=True)
+    parser.add_argument("--save-dir-path", type=str, default=".")
+    parser.add_argument("--tol", type=float, default=0)
+    parser.add_argument("--batch-size", type=int, default=512)
+    parser.add_argument("--distance", default="l1", choices=["l1", "l2"])
+    parser.add_argument("--num-step", type=int, default=1000)
+    parser.add_argument("--max-batches", type=int, default=-1)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from dusty_gan_tpu.data.datasets import define_dataset
+    from dusty_gan_tpu.data.loader import Loader
+    from dusty_gan_tpu.geometry.lidar import tanh_to_sigmoid
+    from dusty_gan_tpu.metrics.chamfer import compute_cd
+    from dusty_gan_tpu.metrics.depth import compute_depth_accuracy, compute_depth_error
+    from dusty_gan_tpu.models import losses
+    from dusty_gan_tpu.utils.inversion import make_inversion_loop
+    from dusty_gan_tpu.utils.postprocess import postprocess
+    from dusty_gan_tpu.utils.setup import make_eval_generator, setup
+
+    cfg, G, params, lidar, fixed_noise = setup(
+        args.model_path, args.config_path, ema=True, fix_noise=True
+    )
+    gen = make_eval_generator(G, params, fixed_noise)
+    is_dusty = "dusty" in str(cfg.model.gen.arch)
+    in_ch = int(cfg.model.gen.in_ch)
+
+    dataset = define_dataset(cfg.dataset, phase="test")
+    loader = Loader(dataset, batch_size=args.batch_size, shuffle=False, drop_last=False)
+
+    def fetch(batch):
+        depth = jnp.asarray(batch["depth"])
+        mask = jnp.asarray(batch["mask"])
+        inv = lidar.invert_depth(depth) * mask  # [0,1], dropped -> 0 (:66-70)
+        return inv, mask, jnp.asarray(batch["xyz"])
+
+    results = defaultdict(list)
+    for bi, batch in enumerate(loader.epoch(0)):
+        if args.max_batches >= 0 and bi >= args.max_batches:
+            break
+        inv_ref, mask_ref, xyz_ref = fetch(batch)
+        b = inv_ref.shape[0]
+
+        def loss_fn(latent):
+            out = gen(latent)
+            inv_gen = tanh_to_sigmoid(out["depth_orig"] if is_dusty else out["depth"])
+            return losses.masked_loss(inv_ref, inv_gen, mask_ref, args.distance)
+
+        run = jax.jit(make_inversion_loop(loss_fn, num_steps=args.num_step, lr=0.1))
+        z0 = jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(1), bi), (b, in_ch))
+        z_star, _ = run(z0, jax.random.fold_in(jax.random.PRNGKey(2), bi))
+
+        out = postprocess(gen(z_star), lidar, tol=args.tol)
+        inv_gen = tanh_to_sigmoid(gen(z_star)["depth_orig" if is_dusty else "depth"])
+        points_gen = out["points"].reshape(b, -1, 3)
+        points_ref = xyz_ref.reshape(b, -1, 3)
+        depth_gen = lidar.revert_depth(inv_gen, norm=False)
+        depth_ref = lidar.revert_depth(jnp.asarray(inv_ref), norm=False)
+
+        results["cd"] += np.asarray(compute_cd(points_ref, points_gen)).tolist()
+        acc = compute_depth_accuracy(depth_ref, depth_gen, mask_ref)
+        for k in ("accuracy_1", "accuracy_2", "accuracy_3"):
+            results[k] += np.asarray(acc[k]).tolist()
+        err = compute_depth_error(depth_ref, depth_gen, mask_ref)
+        for k in ("rmse", "rmse_log", "abs_rel", "sq_rel"):
+            results[k] += np.asarray(err[k]).tolist()
+        results["tol"] += [args.tol] * b
+
+        h, w = out["depth"].shape[1:3]
+        if is_dusty:
+            drop = (1 - out["mask"]).sum(axis=(1, 2, 3)) / (h * w)
+        else:
+            m = (jnp.abs(out["depth"] - 0.0) > args.tol).astype(jnp.float32)
+            drop = (1 - m).sum(axis=(1, 2, 3)) / (h * w)
+        results["drop_gen"] += np.asarray(drop).tolist()
+        results["drop_ref"] += np.asarray(
+            (1 - mask_ref).sum(axis=(1, 2, 3)) / (h * w)
+        ).tolist()
+        print(f"batch {bi}: cd={np.mean(results['cd']):.5f}")
+
+    os.makedirs(args.save_dir_path, exist_ok=True)
+    timestamp = datetime.datetime.now().isoformat()
+    save_path = osp.join(args.save_dir_path, f"{timestamp}.csv")
+    import csv
+
+    keys = list(results.keys())
+    with open(save_path, "w", newline="") as f:
+        writer = csv.writer(f)
+        writer.writerow([""] + keys)
+        for i in range(len(results["cd"])):
+            writer.writerow([i] + [results[k][i] for k in keys])
+    print(f"Saved: {save_path}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Synthesis evaluation CLI — mirrors the reference ``evaluate_synthesis.py``:
+
+    python -m dusty_gan_tpu.cli.evaluate_synthesis \
+        --model-path <ckpt|.pth> --config-path <run>/.hydra/config.yaml \
+        [--num-test 5000] [--num-points 2048] [--tol 0] [--compute-gt]
+
+Protocol parity (evaluate_synthesis.py:20-195): EMA generator with frozen
+Gumbel noise; cached real train/test tensors; uniform-stride subsample to
+--num-test; SWD on 2D inverse depth, JSD on points/2, COV/MMD/1-NNA(CD)
+batch 512; JSON dump. ``--compute-gt`` scores the train-vs-test reference
+floor.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import os.path as osp
+import pprint
+
+import numpy as np
+
+
+def main(argv=None):
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model-path", type=str, required=True)
+    parser.add_argument("--config-path", type=str, required=True)
+    parser.add_argument("--save-dir-path", type=str, default=".")
+    parser.add_argument("--num-test", type=int, default=5000)
+    parser.add_argument("--num-points", type=int, default=2048)
+    parser.add_argument("--tol", type=float, default=0)
+    parser.add_argument("--compute-gt", action="store_true")
+    parser.add_argument("--cd-batch", type=int, default=512)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from dusty_gan_tpu.data.datasets import define_dataset
+    from dusty_gan_tpu.data.loader import Loader
+    from dusty_gan_tpu.geometry.lidar import sigmoid_to_tanh, tanh_to_sigmoid
+    from dusty_gan_tpu.metrics.cov_mmd_1nna import compute_cov_mmd_1nna
+    from dusty_gan_tpu.metrics.fps import downsample_point_clouds
+    from dusty_gan_tpu.metrics.jsd import compute_jsd
+    from dusty_gan_tpu.metrics.swd import compute_swd
+    from dusty_gan_tpu.utils.setup import make_eval_generator, setup
+
+    cfg, G, params, lidar, fixed_noise = setup(
+        args.model_path, args.config_path, ema=True, fix_noise=True
+    )
+    gen = make_eval_generator(G, params, fixed_noise)
+    drop_const = float(cfg.model.gen.drop_const)
+    batch_size = int(cfg.solver.batch_size)
+
+    def fetch(batch):
+        depth = jnp.asarray(batch["depth"])
+        mask = jnp.asarray(batch["mask"])
+        inv = sigmoid_to_tanh(lidar.invert_depth(depth))
+        return mask * inv + (1 - mask) * drop_const
+
+    @jax.jit
+    def to_pts(inv, tol):
+        inv01 = jnp.clip(tanh_to_sigmoid(inv), 0.0, 1.0)
+        xyz = lidar.inv_to_xyz(inv01, tol)
+        return downsample_point_clouds(xyz.reshape(xyz.shape[0], -1, 3), args.num_points)
+
+    # ------------------------------------------------------------- reals
+    reals = {}
+    for subset in ("train", "test"):
+        cache_path = f"data/cache_{cfg.dataset.name}_{subset}_{args.num_points}.npz"
+        if osp.exists(cache_path):
+            z = np.load(cache_path)
+            reals[subset] = {"2d": z["d2"], "3d": z["d3"]}
+            print("loaded:", cache_path)
+        else:
+            ds = define_dataset(cfg.dataset, phase=subset)
+            loader = Loader(ds, batch_size=batch_size, shuffle=False, drop_last=False)
+            d2, d3 = [], []
+            for batch in loader.epoch(0):
+                inv = fetch(batch)
+                d2.append(np.asarray(inv))
+                d3.append(np.asarray(to_pts(inv, 1e-8)))
+            reals[subset] = {"2d": np.concatenate(d2), "3d": np.concatenate(d3)}
+            os.makedirs(osp.dirname(cache_path) or ".", exist_ok=True)
+            np.savez(cache_path, d2=reals[subset]["2d"], d3=reals[subset]["3d"])
+            print("cached:", cache_path)
+
+    # uniform-stride subsample (evaluate_synthesis.py:102-110)
+    for subset in ("train", "test"):
+        for mode in ("2d", "3d"):
+            arr = reals[subset][mode]
+            if args.num_test != -1 and len(arr) > args.num_test:
+                skip = len(arr) // args.num_test
+                limit = skip * args.num_test + 1
+                arr = arr[skip:limit:skip]
+            reals[subset][mode] = jnp.asarray(arr)
+            print("real", subset, mode, tuple(reals[subset][mode].shape))
+
+    def score(gen_2d, gen_3d, ref_2d, ref_3d):
+        scores = {}
+        scores.update(compute_swd(gen_2d, ref_2d))
+        scores["jsd"] = compute_jsd(gen_3d / 2.0, ref_3d / 2.0)
+        scores.update(compute_cov_mmd_1nna(gen_3d, ref_3d, args.cd_batch, ("cd",), verbose=True))
+        return scores
+
+    timestamp = datetime.datetime.now().isoformat()
+    if args.compute_gt:
+        scores = score(reals["train"]["2d"], reals["train"]["3d"],
+                       reals["test"]["2d"], reals["test"]["3d"])
+        scores["#test"] = args.num_test
+        scores["#points"] = args.num_points
+        pprint.pprint(scores)
+        gt_dir = f"outputs/logs/dataset={cfg.dataset.name}/gt/evaluation/tol=0"
+        os.makedirs(gt_dir, exist_ok=True)
+        with open(osp.join(gt_dir, f"{timestamp}.json"), "w") as f:
+            json.dump(scores, f, ensure_ascii=False, indent=4, sort_keys=True)
+        return scores
+
+    # ------------------------------------------------------------- fakes
+    n_test = len(reals["test"]["2d"])
+    key = jax.random.PRNGKey(0)
+    f2, f3 = [], []
+    for i in range(0, n_test, batch_size):
+        z = jax.random.normal(jax.random.fold_in(key, i), (batch_size, int(cfg.model.gen.in_ch)))
+        inv = gen(z)["depth"]
+        f2.append(np.asarray(inv))
+        f3.append(np.asarray(to_pts(inv, args.tol)))
+    fake_2d = jnp.asarray(np.concatenate(f2)[:n_test])
+    fake_3d = jnp.asarray(np.concatenate(f3)[:n_test])
+
+    scores = score(fake_2d, fake_3d, reals["test"]["2d"], reals["test"]["3d"])
+    scores["#test"] = args.num_test
+    scores["#points"] = args.num_points
+    pprint.pprint(scores)
+
+    os.makedirs(args.save_dir_path, exist_ok=True)
+    save_path = osp.join(args.save_dir_path, f"{timestamp}.json")
+    with open(save_path, "w") as f:
+        json.dump(scores, f, ensure_ascii=False, indent=4, sort_keys=True)
+    print("Saved:", save_path)
+    return scores
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Training CLI — mirrors the reference ``train.py`` UX:
+
+    python -m dusty_gan_tpu.cli.train dataset=kitti_odometry \
+        model=dusty1_dcgan_eqlr solver=nsgan_eqlr [key=value ...]
+
+One process drives ALL local devices (single-program data parallelism over
+the mesh); on multi-host pods, launch one process per host — XLA
+collectives replace the reference's mp.spawn/NCCL plumbing entirely
+(train.py:37-50,186).
+
+Extra (non-reference) overrides: ``total_iterations=N`` caps the run for
+smoke tests; ``run_dir=…`` fixes the output directory.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+    import jax
+
+    from dusty_gan_tpu.config import compose, run_dir_for, save_config
+    from dusty_gan_tpu.train.logging import RunLogger
+    from dusty_gan_tpu.train.trainer import Trainer
+    from dusty_gan_tpu.utils.postprocess import colorize
+    from dusty_gan_tpu.geometry.render import render_point_clouds
+
+    # pull out CLI-only keys before composition
+    extras = {}
+    overrides = []
+    for ov in argv:
+        key = ov.split("=", 1)[0]
+        if key in ("total_iterations", "run_dir", "config_dir", "validate_samples"):
+            extras[key] = ov.split("=", 1)[1]
+        else:
+            overrides.append(ov)
+
+    config_dir = extras.get("config_dir", osp.join(osp.dirname(__file__), "../../configs"))
+    cfg = compose(osp.abspath(config_dir), overrides)
+    if cfg.get("resume") and not osp.isabs(cfg.resume):
+        cfg.resume = osp.abspath(cfg.resume)
+
+    run_dir = extras.get("run_dir") or run_dir_for(cfg)
+    os.makedirs(osp.join(run_dir, "models"), exist_ok=True)
+    save_config(cfg, run_dir)
+
+    trainer = Trainer(cfg)
+    logger = None
+    is_main = jax.process_index() == 0
+    if is_main:
+        logger = RunLogger(run_dir, use_wandb=bool(cfg.get("publish_wandb")),
+                           wandb_config=cfg.to_plain())
+        print("run dir:", run_dir)
+
+    total_img = int(cfg.solver.total_kimg) * 1000
+    total_iteration = int(total_img / cfg.solver.batch_size)
+    if "total_iterations" in extras:
+        total_iteration = min(total_iteration, int(extras["total_iterations"]))
+    val_samples = int(extras.get("validate_samples", 0)) or None
+    ckpt = cfg.solver.checkpoint
+
+    scale = 1 / 0.4  # visibility scale for inverse depth (train.py:25)
+
+    def log_images(tag_prefix: str, out, step: int):
+        logger.image_grid(f"{tag_prefix}/inv", colorize(np.asarray(out["depth"]) * scale), step)
+        logger.image_grid(f"{tag_prefix}/normal", np.asarray(out["normals"]), step)
+        pts = np.asarray(out["points"]).reshape(out["points"].shape[0], -1, 3)
+        nrm = np.asarray(out["normals"]).reshape(pts.shape)
+        bev = render_point_clouds(pts, nrm, t=np.asarray([0.0, 0.0, 0.5], np.float32))
+        logger.image_grid(f"{tag_prefix}/bev", np.asarray(bev), step)
+        if "depth_orig" in out:
+            logger.image_grid(f"{tag_prefix}/inv/orig",
+                              colorize(np.asarray(out["depth_orig"]) * scale), step)
+        if "confidence" in out:
+            conf = np.asarray(out["confidence"])
+            if conf.shape[-1] == 2:
+                logger.image_grid(f"{tag_prefix}/confidence/pix", colorize(conf[..., :1]), step)
+                logger.image_grid(f"{tag_prefix}/confidence/img", colorize(conf[..., 1:]), step)
+            else:
+                logger.image_grid(f"{tag_prefix}/confidence", colorize(conf), step)
+        if "mask" in out:
+            mask = np.asarray(out["mask"])
+            for c in range(mask.shape[-1]):
+                sub = "/pix" if (mask.shape[-1] == 2 and c == 0) else (
+                    "/img" if mask.shape[-1] == 2 else "")
+                logger.image_grid(f"{tag_prefix}/mask{sub}",
+                                  np.repeat(mask[..., c : c + 1], 3, -1), step)
+
+    it = iter(trainer.loader)
+    t_last = time.perf_counter()
+    imgs_per_iter = trainer.batch_size
+
+    for i in range(trainer.start_iteration + 1, total_iteration + 1):
+        batch = next(it)
+        scalars = trainer.step(i, batch)
+        step_imgs = i * imgs_per_iter
+
+        if is_main:
+            if i % int(ckpt.save_stats) == 0 or i == 1:
+                now = time.perf_counter()
+                sps = imgs_per_iter * int(ckpt.save_stats) / (now - t_last) if i > 1 else 0.0
+                t_last = now
+                logger.scalars({k: float(v) for k, v in scalars.items()}, step_imgs)
+                if sps:
+                    logger.scalar("perf/scans_per_sec", sps, step_imgs)
+                print(f"iter {i}/{total_iteration} "
+                      + " ".join(f"{k.split('/')[-1]}={float(v):.4f}" for k, v in sorted(scalars.items()))
+                      + (f" [{sps:.0f} scans/s]" if sps else ""))
+            if i % int(ckpt.save_image) == 0:
+                log_images("synth", trainer.generate(ema=False), step_imgs)
+            if i % int(ckpt.test) == 0:
+                scores = trainer.validation(max_samples=val_samples)
+                logger.scalars({f"score/{k}": v for k, v in scores.items()}, step_imgs)
+                print("validation:", {k: round(v, 4) for k, v in scores.items()
+                                      if not k.startswith("1-nn-t")})
+            if i % int(ckpt.save_model) == 0:
+                path = trainer.save(osp.join(run_dir, "models"), step_imgs)
+                print("saved:", path)
+
+    if is_main:
+        path = trainer.save(osp.join(run_dir, "models"), total_iteration * imgs_per_iter)
+        print("saved final:", path)
+        logger.close()
+    return run_dir
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Drop-tolerance tuning CLI — the reference ``tune_tolerance.py`` runs 100
+HyperOpt trials over tol in [1e-3, 1e-1] (log-uniform) minimizing
+
+    1 * 1NNA-CD + 100 * MMD-CD - 1 * COV-CD + 10 * JSD        (:52-57)
+
+on the val split.  Ray/HyperOpt aren't TPU-idiomatic (and aren't in this
+image); the search here is quasi-random log-uniform sampling + a local
+refinement pass around the incumbent — same objective, same budget, one
+process.  Usage:
+
+    python -m dusty_gan_tpu.cli.tune_tolerance \
+        --model-path <ckpt|.pth> --config-path <cfg> [--num-samples 100]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import os.path as osp
+
+import numpy as np
+
+
+def main(argv=None):
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model-path", type=str, required=True)
+    parser.add_argument("--config-path", type=str, required=True)
+    parser.add_argument("--save-dir-path", type=str, default=".")
+    parser.add_argument("--num-samples", type=int, default=100)
+    parser.add_argument("--num-points", type=int, default=512)
+    parser.add_argument("--num-test", type=int, default=-1)
+    parser.add_argument("--tol-min", type=float, default=1e-3)
+    parser.add_argument("--tol-max", type=float, default=1e-1)
+    parser.add_argument("--cd-batch", type=int, default=512)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from dusty_gan_tpu.data.datasets import define_dataset
+    from dusty_gan_tpu.data.loader import Loader
+    from dusty_gan_tpu.geometry.lidar import sigmoid_to_tanh, tanh_to_sigmoid
+    from dusty_gan_tpu.metrics.cov_mmd_1nna import compute_cov_mmd_1nna
+    from dusty_gan_tpu.metrics.fps import downsample_point_clouds
+    from dusty_gan_tpu.metrics.jsd import compute_jsd
+    from dusty_gan_tpu.utils.setup import make_eval_generator, setup
+
+    cfg, G, params, lidar, fixed_noise = setup(
+        args.model_path, args.config_path, ema=True, fix_noise=True
+    )
+    gen = make_eval_generator(G, params, fixed_noise)
+    drop_const = float(cfg.model.gen.drop_const)
+    batch_size = int(cfg.solver.batch_size)
+
+    @jax.jit
+    def to_pts(inv, tol):
+        inv01 = jnp.clip(tanh_to_sigmoid(inv), 0.0, 1.0)
+        xyz = lidar.inv_to_xyz(inv01, tol)
+        return downsample_point_clouds(xyz.reshape(xyz.shape[0], -1, 3), args.num_points)
+
+    # real val clouds (tol=1e-8 reference projection, tune_tolerance.py:92-112)
+    ds = define_dataset(cfg.dataset, phase="val")
+    loader = Loader(ds, batch_size=batch_size, shuffle=False, drop_last=False)
+    real_3d = []
+    for batch in loader.epoch(0):
+        depth = jnp.asarray(batch["depth"])
+        mask = jnp.asarray(batch["mask"])
+        inv = mask * sigmoid_to_tanh(lidar.invert_depth(depth)) + (1 - mask) * drop_const
+        real_3d.append(np.asarray(to_pts(inv, 1e-8)))
+    real_3d = np.concatenate(real_3d)
+    if args.num_test > 0:
+        real_3d = real_3d[: args.num_test]
+    n_test = len(real_3d)
+    real_3d = jnp.asarray(real_3d)
+    print("val clouds:", real_3d.shape)
+
+    # generate fakes ONCE in 2D; tol only affects the 2D->3D projection
+    key = jax.random.PRNGKey(args.seed)
+    fake_2d = []
+    for i in range(0, n_test, batch_size):
+        z = jax.random.normal(jax.random.fold_in(key, i), (batch_size, int(cfg.model.gen.in_ch)))
+        fake_2d.append(np.asarray(gen(z)["depth"]))
+    fake_2d = jnp.asarray(np.concatenate(fake_2d)[:n_test])
+
+    def objective(tol: float) -> dict:
+        fake_3d = to_pts(fake_2d, tol)
+        scores = {}
+        scores["jsd"] = compute_jsd(fake_3d / 2.0, real_3d / 2.0)
+        scores.update(compute_cov_mmd_1nna(fake_3d, real_3d, args.cd_batch, ("cd",)))
+        score = (
+            1.0 * scores["1-nn-accuracy-cd"]
+            + 100.0 * scores["mmd-cd"]
+            - 1.0 * scores["cov-cd"]
+            + 10.0 * scores["jsd"]
+        )
+        return {"score": float(score), **{k: float(v) for k, v in scores.items()}}
+
+    rng = np.random.RandomState(args.seed)
+    lo, hi = np.log(args.tol_min), np.log(args.tol_max)
+    n_explore = max(1, args.num_samples * 3 // 4)
+    tols = np.exp(rng.uniform(lo, hi, n_explore)).tolist()
+
+    trials = []
+    best = None
+    for t_idx, tol in enumerate(tols):
+        r = {"tol": float(tol), **objective(float(tol))}
+        trials.append(r)
+        if best is None or r["score"] < best["score"]:
+            best = r
+        print(f"trial {t_idx + 1}/{args.num_samples}: tol={tol:.5f} "
+              f"score={r['score']:.4f} (best {best['tol']:.5f} @ {best['score']:.4f})")
+
+    # refinement around the incumbent (replaces HyperOpt's TPE exploitation)
+    n_refine = args.num_samples - n_explore
+    for t_idx in range(n_refine):
+        tol = float(np.exp(rng.normal(np.log(best["tol"]), 0.15)))
+        tol = float(np.clip(tol, args.tol_min, args.tol_max))
+        r = {"tol": tol, **objective(tol)}
+        trials.append(r)
+        if r["score"] < best["score"]:
+            best = r
+        print(f"refine {t_idx + 1}/{n_refine}: tol={tol:.5f} score={r['score']:.4f} "
+              f"(best {best['tol']:.5f})")
+
+    print("best:", best)
+    os.makedirs(args.save_dir_path, exist_ok=True)
+    out_path = osp.join(
+        args.save_dir_path, f"tune_{datetime.datetime.now().isoformat()}.json"
+    )
+    with open(out_path, "w") as f:
+        json.dump({"best": best, "trials": trials}, f, indent=2, sort_keys=True)
+    print("Saved:", out_path)
+    return best
+
+
+if __name__ == "__main__":
+    main()

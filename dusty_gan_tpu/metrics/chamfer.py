@@ -1,0 +1,97 @@
+"""Chamfer distance: bidirectional nearest-neighbor squared distances.
+
+TPU-native replacement for the reference CUDA extension
+(``utils/metrics/distance/cd/chamfer_distance.cu``): the shared-memory
+tiling of the CUDA forward (cu:9-122) becomes an M-chunked ``lax.scan``
+whose inner step is one batched matmul (the MXU computes the -2*x.y term
+of ||x-y||^2) plus a running min — HBM traffic stays O(B*(N+M)) instead of
+O(B*N*M).
+
+The backward is the analytic scatter of the CUDA kernel (cu:148-172):
+``d dist1[n] / d x[n] = 2 (x[n] - y[argmin])`` with the cross terms
+scatter-added — exposed through ``custom_vjp`` so autodiff never
+materializes the (B, N, M) distance tensor.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _nn_chunked(x, y, chunk: int):
+    """For each x point, (min squared distance to y, argmin index).
+    x: (B,N,3), y: (B,M,3)."""
+    b, n, _ = x.shape
+    m = y.shape[1]
+    chunk = min(chunk, m)
+    pad = (-m) % chunk
+    if pad:
+        # pad with +inf-distance sentinels (huge coordinates)
+        y = jnp.concatenate([y, jnp.full((b, pad, 3), 1e18, y.dtype)], axis=1)
+    mm = y.shape[1]
+    x2 = jnp.sum(x * x, axis=-1)  # (B,N)
+    y_chunks = y.reshape(b, mm // chunk, chunk, 3).transpose(1, 0, 2, 3)
+
+    def body(carry, yc):
+        best, best_idx, offset = carry
+        y2 = jnp.sum(yc * yc, axis=-1)  # (B,chunk)
+        cross = jnp.einsum("bnc,bmc->bnm", x, yc)  # MXU
+        d = x2[:, :, None] + y2[:, None, :] - 2.0 * cross  # (B,N,chunk)
+        cmin = jnp.min(d, axis=-1)
+        cidx = jnp.argmin(d, axis=-1).astype(jnp.int32) + offset
+        take = cmin < best
+        best = jnp.where(take, cmin, best)
+        best_idx = jnp.where(take, cidx, best_idx)
+        return (best, best_idx, offset + chunk), None
+
+    init = (
+        jnp.full((b, n), jnp.inf, x.dtype),
+        jnp.zeros((b, n), jnp.int32),
+        jnp.zeros((), jnp.int32),
+    )
+    (best, best_idx, _), _ = jax.lax.scan(body, init, y_chunks)
+    return jnp.maximum(best, 0.0), best_idx
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def chamfer_distance(xyz1, xyz2, chunk: int = 512):
+    """(B,N,3), (B,M,3) -> (dist1 (B,N), dist2 (B,M)) of squared NN
+    distances, differentiable both ways (chamfer_distance.py:16-47)."""
+    d1, _ = _nn_chunked(xyz1, xyz2, chunk)
+    d2, _ = _nn_chunked(xyz2, xyz1, chunk)
+    return d1, d2
+
+
+def _cd_fwd(xyz1, xyz2, chunk):
+    d1, i1 = _nn_chunked(xyz1, xyz2, chunk)
+    d2, i2 = _nn_chunked(xyz2, xyz1, chunk)
+    return (d1, d2), (xyz1, xyz2, i1, i2)
+
+
+def _cd_bwd(chunk, res, grads):
+    xyz1, xyz2, i1, i2 = res
+    g1, g2 = grads  # (B,N), (B,M)
+    b = xyz1.shape[0]
+    batch = jnp.arange(b)[:, None]
+    y_near = xyz2[batch, i1]  # (B,N,3) nearest y for each x
+    x_near = xyz1[batch, i2]  # (B,M,3) nearest x for each y
+    # forward-point gradients (chamfer_distance.cu:151-158)
+    gx = 2.0 * g1[..., None] * (xyz1 - y_near)
+    gy = 2.0 * g2[..., None] * (xyz2 - x_near)
+    # cross scatter terms (cu:159-166, atomicAdd)
+    gy = gy.at[batch, i1].add(-2.0 * g1[..., None] * (xyz1 - y_near))
+    gx = gx.at[batch, i2].add(-2.0 * g2[..., None] * (xyz2 - x_near))
+    return gx, gy
+
+
+chamfer_distance.defvjp(_cd_fwd, _cd_bwd)
+
+
+def compute_cd(pcs_1, pcs_2, chunk: int = 512):
+    """Symmetric CD score per batch element
+    (utils/metrics/cov_mmd_1nna.py:19-21)."""
+    d1, d2 = chamfer_distance(pcs_1, pcs_2, chunk)
+    return jnp.mean(d1, axis=1) + jnp.mean(d2, axis=1)

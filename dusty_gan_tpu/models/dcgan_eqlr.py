@@ -81,13 +81,23 @@ class Generator(nn.Module):
         return min(self.ch_base << i, self.ch_max)
 
     @nn.compact
-    def __call__(self, z, compute_dtype=None):
+    def __call__(self, z, compute_dtype=None, compose_layer=None, compose_alpha=None):
+        """compose_layer/compose_alpha: multi-code mGANprior composition
+        (the flax analog of the reference demo's forward-hook feature
+        blending, demo.py:474-488): run stages 0..compose_layer on all N
+        latents, blend feature maps as sum(alpha * h, axis=0), continue
+        with batch 1.  compose_layer in {0: after proj, 1..3: after up0..2};
+        compose_alpha: (N, 1, 1, C) weights."""
         out_ch = dict(self.out_ch or {"depth": 1})
         h0, w0 = self.shape[0] >> 4, self.shape[1] >> 4
         h = EqualLRProj(self.ch(3), (h0, w0), name="proj")(z, compute_dtype)
         h = FusedLeakyReLU(self.ch(3), name="proj_act")(h)
+        if compose_layer == 0:
+            h = jnp.sum(h * compose_alpha, axis=0, keepdims=True)
         for idx, i in enumerate((2, 1, 0)):
             h = Up(self.ch(i), self.ring, name=f"up{idx}")(h, compute_dtype)
+            if compose_layer == idx + 1:
+                h = jnp.sum(h * compose_alpha, axis=0, keepdims=True)
         outs = Head(out_ch, self.ring, name="head")(h, compute_dtype)
         outs["depth"] = jnp.tanh(outs["depth"].astype(jnp.float32))
         return outs

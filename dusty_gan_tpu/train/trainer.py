@@ -1,0 +1,232 @@
+"""Trainer orchestration: config -> models/optimizers/data/mesh/state.
+
+The analog of the reference ``Trainer`` (``trainers/dcgan_amp.py:38-409``),
+re-shaped for TPU: everything mutable lives in a TrainState pytree, the
+whole optimization step is one jitted function over a data mesh, and the
+host only feeds batches and logs.
+
+Capabilities carried over one-for-one: fetch_reals domain mapping,
+alternating D/G optimization with R1 + optional PL, DiffAugment, EMA
+generator, grad accumulation, scalar aggregation, periodic validation
+(SWD + JSD + COV/MMD/1-NNA on FPS-downsampled clouds), checkpoint save /
+resume.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dusty_gan_tpu.core.dtypes import policy_from_cfg
+from dusty_gan_tpu.data.datasets import define_dataset
+from dusty_gan_tpu.data.loader import Loader
+from dusty_gan_tpu.geometry.lidar import Lidar, tanh_to_sigmoid
+from dusty_gan_tpu.metrics.cov_mmd_1nna import compute_cov_mmd_1nna
+from dusty_gan_tpu.metrics.fps import downsample_point_clouds
+from dusty_gan_tpu.metrics.jsd import compute_jsd
+from dusty_gan_tpu.metrics.swd import compute_swd
+from dusty_gan_tpu.models.dusty import DUSty1, DUSty2
+from dusty_gan_tpu.models.factory import define_D, define_G
+from dusty_gan_tpu.parallel.mesh import create_mesh, replicated, shard_batch
+from dusty_gan_tpu.train.checkpoint import (
+    checkpoint_name,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from dusty_gan_tpu.train.state import create_train_state, make_optimizer
+from dusty_gan_tpu.train.step import fetch_reals, make_g_apply, make_train_step
+from dusty_gan_tpu.utils.postprocess import postprocess
+
+
+class Trainer:
+    def __init__(self, cfg, verbose: bool = True):
+        self.cfg = cfg
+        self.policy = policy_from_cfg(bool(cfg.get("enable_amp", True)))
+
+        # inject dataset shape into model config (trainers/dcgan_amp.py:45-46)
+        cfg.model.gen.shape = list(cfg.dataset.shape)
+        cfg.model.dis.shape = list(cfg.dataset.shape)
+
+        self.G = define_G(cfg)
+        self.D = define_D(cfg)
+        self.needs_gumbel = isinstance(self.G, (DUSty1, DUSty2))
+        self.apply_g, _ = make_g_apply(self.G)
+
+        angle_file = None
+        for cand in ("angles.npy", "angles.pt"):
+            p = osp.join(cfg.dataset.root, cand)
+            if osp.exists(p):
+                angle_file = p
+                break
+        if angle_file is None:
+            raise FileNotFoundError(
+                f"no angles.npy/angles.pt under {cfg.dataset.root} — run "
+                "`python -m dusty_gan_tpu.cli.process_kitti --root-dir …` first"
+            )
+        self.lidar = Lidar.from_angle_file(
+            angle_file, tuple(cfg.dataset.shape), cfg.dataset.min_depth,
+            cfg.dataset.max_depth,
+        )
+
+        # mesh + batch bookkeeping (reference: train.py:52-57)
+        self.mesh = create_mesh(cfg.get("num_devices"))
+        n_dev = self.mesh.devices.size
+        self.batch_size = int(cfg.solver.batch_size)
+        self.num_accumulation = int(cfg.solver.get("num_accumulation", 1))
+        assert self.batch_size % n_dev == 0, (self.batch_size, n_dev)
+        self.ema_decay = 0.5 ** (
+            self.batch_size / (float(cfg.solver.smoothing_kimg) * 1000.0)
+        )
+
+        # optimizers
+        lr = cfg.solver.lr
+        self.optimizer_g = make_optimizer(float(lr.alpha.gen), float(lr.beta1), float(lr.beta2))
+        self.optimizer_d = make_optimizer(float(lr.alpha.dis), float(lr.beta1), float(lr.beta2))
+
+        # datasets
+        cache_dir = osp.join(cfg.dataset.root, "cache") if cfg.get("cache_dataset", True) else None
+        self.dataset = define_dataset(cfg.dataset, phase="train", cache_dir=cache_dir)
+        self.loader = Loader(
+            self.dataset,
+            batch_size=self.batch_size * self.num_accumulation,
+            shuffle=True,
+            drop_last=True,
+            seed=int(cfg.get("seed") or 0),
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        )
+        self.val_dataset = define_dataset(cfg.dataset, phase="val", cache_dir=cache_dir)
+        self.val_loader = Loader(
+            self.val_dataset, batch_size=self.batch_size, shuffle=False,
+            drop_last=False,
+        )
+
+        # jitted step
+        loss_weight = {k: float(v) for k, v in dict(cfg.solver.loss).items()}
+        self._train_step = make_train_step(
+            self.G, self.D, self.lidar,
+            optimizer_g=self.optimizer_g, optimizer_d=self.optimizer_d,
+            gan_mode=str(cfg.solver.gan_mode),
+            loss_weight=loss_weight,
+            augment_policy=tuple(cfg.solver.augment or []),
+            drop_const=float(cfg.model.gen.drop_const),
+            num_accumulation=self.num_accumulation,
+            ema_decay=self.ema_decay,
+            batch_size=self.batch_size,
+            policy=self.policy,
+        )
+        self._jstep = jax.jit(self._train_step, donate_argnums=(0,))
+
+        # state
+        self.root_key = jax.random.PRNGKey(int(cfg.get("seed") or 0))
+        self.state = create_train_state(
+            self.root_key, self.G, self.D,
+            in_ch=int(cfg.model.gen.in_ch),
+            image_shape=tuple(cfg.dataset.shape),
+            optimizer_g=self.optimizer_g, optimizer_d=self.optimizer_d,
+            needs_gumbel=self.needs_gumbel,
+        )
+        self.state = jax.device_put(self.state, replicated(self.mesh))
+
+        self.start_iteration = 0
+        if cfg.get("resume"):
+            self.state, key = restore_checkpoint(cfg.resume, self.state)
+            self.state = jax.device_put(self.state, replicated(self.mesh))
+            if key is not None:
+                self.root_key = jnp.asarray(key)
+            self.start_iteration = int(self.state.step) // self.batch_size
+            if verbose:
+                print(f"resumed from {cfg.resume} at iteration {self.start_iteration}")
+
+        # fixed latents for visual validation (dcgan_amp.py:147-149)
+        self.fixed_latent = jax.random.normal(
+            jax.random.fold_in(self.root_key, 0xF1E),
+            (min(self.batch_size, 16), int(cfg.model.gen.in_ch)),
+        )
+
+        if verbose and jax.process_index() == 0:
+            n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.state.params_G))
+            print(f"devices: {n_dev}, G params: {n_params:,}, "
+                  f"batch {self.batch_size} x accum {self.num_accumulation}, "
+                  f"ema decay {self.ema_decay:.6f}")
+
+    # ------------------------------------------------------------------
+    def step(self, i: int, batch: Dict[str, np.ndarray]):
+        """One optimization step; returns logged scalars (floats)."""
+        batch = shard_batch(self.mesh, {
+            "depth": jnp.asarray(batch["depth"]),
+            "mask": jnp.asarray(batch["mask"]),
+        })
+        key = jax.random.fold_in(self.root_key, i)
+        self.state, scalars = self._jstep(self.state, batch, key)
+        return scalars
+
+    # ------------------------------------------------------------------
+    def generate(self, ema: bool = True, latent=None, key=None, train_mode: bool = True):
+        """Sample + postprocess for image logging (dcgan_amp.py:330-341)."""
+        params = self.state.params_G_ema if ema else self.state.params_G
+        z = self.fixed_latent if latent is None else latent
+        key = jax.random.fold_in(self.root_key, 0x9E0) if key is None else key
+        out = self.apply_g(params, z, key, self.policy.compute_dtype, train=train_mode)
+        return postprocess(out, self.lidar)
+
+    # ------------------------------------------------------------------
+    def fetch_reals_host(self, batch):
+        return fetch_reals(
+            {k: jnp.asarray(v) for k, v in batch.items()},
+            self.lidar, float(self.cfg.model.gen.drop_const),
+        )
+
+    def validation(self, max_samples: Optional[int] = None) -> Dict[str, float]:
+        """SWD + JSD + COV/MMD/1-NNA(CD) on FPS-downsampled clouds
+        (dcgan_amp.py:343-393)."""
+        num_points = int(self.cfg.solver.validation.num_points)
+        n_total = len(self.val_dataset) if max_samples is None else min(
+            len(self.val_dataset), max_samples
+        )
+
+        def inv_to_pts(inv):
+            inv01 = jnp.clip(tanh_to_sigmoid(inv), 0.0, 1.0)
+            xyz = self.lidar.inv_to_xyz(inv01, 1e-8)
+            pts = xyz.reshape(xyz.shape[0], -1, 3)
+            return downsample_point_clouds(pts, num_points)
+
+        real_2d, real_3d, fake_2d, fake_3d = [], [], [], []
+        seen = 0
+        for batch in self.val_loader.epoch(0):
+            x_real, _ = self.fetch_reals_host(batch)
+            real_2d.append(x_real)
+            real_3d.append(inv_to_pts(x_real))
+            seen += x_real.shape[0]
+            if seen >= n_total:
+                break
+        b = self.batch_size
+        for j in range(0, n_total, b):
+            key = jax.random.fold_in(self.root_key, 0xA000 + j)
+            z = jax.random.normal(key, (b, int(self.cfg.model.gen.in_ch)))
+            out = self.apply_g(
+                self.state.params_G_ema, z, jax.random.fold_in(key, 1),
+                self.policy.compute_dtype, train=True,
+            )
+            fake_2d.append(out["depth"])
+            fake_3d.append(inv_to_pts(out["depth"]))
+
+        real_2d = jnp.concatenate(real_2d)[:n_total]
+        real_3d = jnp.concatenate(real_3d)[:n_total]
+        fake_2d = jnp.concatenate(fake_2d)[:n_total]
+        fake_3d = jnp.concatenate(fake_3d)[:n_total]
+
+        scores = {}
+        scores.update(compute_swd(fake_2d, real_2d, key=jax.random.fold_in(self.root_key, 0x5D)))
+        scores["jsd"] = compute_jsd(fake_3d / 2.0, real_3d / 2.0)
+        scores.update(compute_cov_mmd_1nna(fake_3d, real_3d, 512, ("cd",)))
+        return {k: float(v) for k, v in scores.items()}
+
+    # ------------------------------------------------------------------
+    def save(self, models_dir: str, images_seen: int) -> str:
+        path = osp.join(models_dir, checkpoint_name(images_seen))
+        return save_checkpoint(path, self.state, self.root_key)

@@ -1,0 +1,99 @@
+"""GAN-inversion optimization utilities.
+
+Parity with the reference reconstruction stack:
+
+* ``spherical_adam_step`` — Adam whose iterates are re-projected onto the
+  sqrt(D)-sphere after every update (``SphericalOptimizer``,
+  utils/__init__.py:224-234): ``z /= sqrt(mean(z^2) + 1e-9)``;
+* ``stylegan2_lr_schedule`` — cosine rampdown with warmup
+  (evaluate_reconstruction.py:72-77);
+* ``latent_noise_strength`` — decaying latent perturbation
+  (evaluate_reconstruction.py:100-104).
+
+The whole 1000-step loop compiles to one ``lax.fori_loop`` program —
+versus the reference's 1000 Python-level optimizer steps.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def project_sphere(z, eps: float = 1e-9):
+    return z / jnp.sqrt(jnp.mean(z**2, axis=1, keepdims=True) + eps)
+
+
+def stylegan2_lr_schedule(
+    step, num_steps: int, rampup_ratio: float = 0.05, rampdown_ratio: float = 0.25
+):
+    t = step / num_steps
+    gamma = jnp.minimum(1.0, (1.0 - t) / rampdown_ratio)
+    gamma = 0.5 - 0.5 * jnp.cos(gamma * jnp.pi)
+    return gamma * jnp.minimum(1.0, t / rampup_ratio)
+
+
+def latent_noise_strength(step, num_steps: int, noise_ratio: float = 0.75,
+                          noise_sigma: float = 1.0):
+    w = jnp.maximum(0.0, 1.0 - (step / num_steps) / noise_ratio)
+    return 0.05 * noise_sigma * w**2
+
+
+def make_inversion_loop(
+    loss_fn: Callable,  # (latent_perturbed) -> per-sample loss (B,)
+    num_steps: int = 1000,
+    lr: float = 0.1,
+    perturb_latent: bool = True,
+    noise_ratio: float = 0.75,
+    noise_sigma: float = 1.0,
+):
+    """Build a jittable optimizer loop: (z0, key) -> (z*, per-sample loss).
+
+    Per-sample gradients (the reference backprops loss.backward(ones),
+    evaluate_reconstruction.py:118) == grad of the summed loss.
+    """
+    opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+
+    def run(z0, key):
+        z0 = project_sphere(z0)
+        opt_state = opt.init(z0)
+
+        def body(i, carry):
+            z, opt_state = carry
+            strength = (
+                latent_noise_strength(i, num_steps, noise_ratio, noise_sigma)
+                if perturb_latent else 0.0
+            )
+            noise = strength * jax.random.normal(jax.random.fold_in(key, i), z.shape)
+            grads = jax.grad(lambda zz: jnp.sum(loss_fn(zz + noise)))(z)
+            scale = stylegan2_lr_schedule(i, num_steps)
+            updates, opt_state = opt.update(jax.tree.map(lambda g: g, grads), opt_state, z)
+            z = optax.apply_updates(z, jax.tree.map(lambda u: u * scale, updates))
+            z = project_sphere(z)
+            return z, opt_state
+
+        z, _ = jax.lax.fori_loop(0, num_steps, body, (z0, opt_state))
+        return z, loss_fn(z)
+
+    return run
+
+
+def lerp(val, low, high):
+    """(utils/interp.py:4-5)"""
+    return low + (high - low) * val
+
+
+def slerp(val, low, high):
+    """Spherical latent interpolation (utils/interp.py:8-16)."""
+    low_n = low / jnp.linalg.norm(low, axis=1, keepdims=True)
+    high_n = high / jnp.linalg.norm(high, axis=1, keepdims=True)
+    omega = jnp.arccos(jnp.clip(jnp.sum(low_n * high_n, axis=1), -1.0, 1.0))
+    so = jnp.sin(omega)
+    return (
+        (jnp.sin((1.0 - val) * omega) / so)[:, None] * low
+        + (jnp.sin(val * omega) / so)[:, None] * high
+    )

@@ -1,0 +1,142 @@
+"""End-to-end integration: config composition -> CLI train smoke run on
+synthetic data -> checkpoint resume -> eval CLIs. All on the 8-device CPU
+mesh."""
+
+import json
+import os
+import os.path as osp
+from glob import glob
+
+import numpy as np
+import pytest
+
+from dusty_gan_tpu.config import compose, load_config, run_dir_for
+from dusty_gan_tpu.data.synthetic import build_synthetic_kitti
+
+CONFIG_DIR = osp.join(osp.dirname(__file__), "../configs")
+
+# tiny-but-valid training override set
+TINY = [
+    "model.gen.ch_base=8",
+    "model.gen.ch_max=16",
+    "model.dis.ch_base=8",
+    "model.dis.ch_max=16",
+    "solver.batch_size=8",
+    "solver.checkpoint.save_stats=2",
+    "solver.checkpoint.save_image=4",
+    "solver.checkpoint.test=4",
+    "solver.checkpoint.save_model=4",
+]
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti_synth_it")
+    return build_synthetic_kitti(str(root), n_scans_per_seq=10, w0=512)
+
+
+class TestConfig:
+    def test_compose_defaults(self):
+        cfg = compose(CONFIG_DIR, [])
+        assert cfg.dataset.name == "kitti_odometry"
+        assert cfg.model.gen.arch == "dusty1/dcgan_eqlr"
+        assert cfg.solver.gan_mode == "nsgan"
+        assert cfg.solver.batch_size == 32
+
+    def test_group_and_dotted_overrides(self):
+        cfg = compose(CONFIG_DIR, [
+            "model=dusty2_dcgan_eqlr", "dataset=sparse_mpo",
+            "solver.lr.alpha.gen=0.001", "seed=7",
+        ])
+        assert cfg.model.gen.arch == "dusty2/dcgan_eqlr"
+        assert cfg.dataset.shape == [32, 256]
+        assert cfg.solver.lr.alpha.gen == 0.001
+        assert cfg.seed == 7
+
+    def test_reference_config_loads_verbatim(self):
+        """the reference's own YAML files compose without edits."""
+        cfg = compose("/root/reference/configs", ["solver=nsgan_eqlr"])
+        assert cfg.model.gen.arch == "dusty1/dcgan_eqlr"
+        assert cfg.solver.total_kimg == 25000
+
+    def test_unknown_group_option_errors(self):
+        with pytest.raises(FileNotFoundError):
+            compose(CONFIG_DIR, ["model=nonexistent_model"])
+
+    def test_run_dir_template(self):
+        cfg = compose(CONFIG_DIR, [])
+        d = run_dir_for(cfg)
+        assert "dataset=kitti_odometry" in d and "model=dusty1_dcgan_eqlr" in d
+
+
+class TestTrainCLI:
+    @pytest.fixture(scope="class")
+    def trained_run(self, tmp_path_factory, synth_root):
+        from dusty_gan_tpu.cli.train import main as train_main
+
+        run_dir = str(tmp_path_factory.mktemp("run"))
+        train_main(TINY + [
+            f"dataset.root={synth_root}",
+            f"run_dir={run_dir}",
+            "total_iterations=4",
+            "validate_samples=8",
+        ])
+        return run_dir
+
+    def test_artifacts_written(self, trained_run):
+        assert osp.exists(osp.join(trained_run, ".hydra/config.yaml"))
+        assert osp.exists(osp.join(trained_run, "scalars.jsonl"))
+        ckpts = glob(osp.join(trained_run, "models", "checkpoint_*.ckpt"))
+        assert len(ckpts) >= 1
+        with open(osp.join(trained_run, "scalars.jsonl")) as f:
+            lines = [json.loads(l) for l in f]
+        keys = set()
+        for l in lines:
+            keys.update(l.keys())
+        assert any(k.startswith("loss/D/") for k in keys)
+        assert any(k.startswith("score/") for k in keys)
+
+    def test_resume_from_checkpoint(self, trained_run, synth_root, tmp_path):
+        from dusty_gan_tpu.cli.train import main as train_main
+
+        ckpt = sorted(glob(osp.join(trained_run, "models", "checkpoint_*.ckpt")))[-1]
+        run2 = str(tmp_path / "resume_run")
+        train_main(TINY + [
+            f"dataset.root={synth_root}",
+            f"resume={ckpt}",
+            f"run_dir={run2}",
+            "total_iterations=6",
+        ])
+        # resumed past the saved step and saved a later checkpoint
+        ckpts2 = glob(osp.join(run2, "models", "checkpoint_*.ckpt"))
+        assert len(ckpts2) >= 1
+
+    def test_evaluate_synthesis_cli(self, trained_run, tmp_path, monkeypatch):
+        from dusty_gan_tpu.cli.evaluate_synthesis import main as eval_main
+
+        monkeypatch.chdir(tmp_path)
+        ckpt = sorted(glob(osp.join(trained_run, "models", "checkpoint_*.ckpt")))[-1]
+        scores = eval_main([
+            "--model-path", ckpt,
+            "--config-path", osp.join(trained_run, ".hydra/config.yaml"),
+            "--save-dir-path", str(tmp_path),
+            "--num-test", "8", "--num-points", "128", "--cd-batch", "8",
+        ])
+        assert "swd-mean" in scores and "jsd" in scores and "cov-cd" in scores
+        assert np.isfinite(scores["jsd"])
+        assert glob(str(tmp_path / "*.json"))
+
+    def test_evaluate_reconstruction_cli(self, trained_run, tmp_path, monkeypatch):
+        from dusty_gan_tpu.cli.evaluate_reconstruction import main as eval_main
+
+        monkeypatch.chdir(tmp_path)
+        ckpt = sorted(glob(osp.join(trained_run, "models", "checkpoint_*.ckpt")))[-1]
+        results = eval_main([
+            "--model-path", ckpt,
+            "--config-path", osp.join(trained_run, ".hydra/config.yaml"),
+            "--save-dir-path", str(tmp_path),
+            "--batch-size", "4", "--num-step", "5", "--max-batches", "1",
+        ])
+        assert len(results["cd"]) == 4
+        assert np.isfinite(results["cd"]).all()
+        assert glob(str(tmp_path / "*.csv"))
