@@ -64,15 +64,17 @@ def main():
     jstep = jax.jit(step, donate_argnums=(0,))
     key = jax.random.PRNGKey(1)
 
-    # warmup / compile
-    state, _ = jstep(state, batch_data, key)
-    jax.block_until_ready(state.params_G)
+    # warmup / compile (sync by VALUE fetch: through remote-TPU tunnels,
+    # block_until_ready can return before the dependent chain executes)
+    for i in range(8):
+        state, scalars = jstep(state, batch_data, jax.random.fold_in(key, 1000 + i))
+    assert np.isfinite(float(scalars["loss/G/adversarial"]))
 
-    n_iters = 50
+    n_iters = 100
     t0 = time.perf_counter()
     for i in range(n_iters):
         state, scalars = jstep(state, batch_data, jax.random.fold_in(key, i))
-    jax.block_until_ready(state.params_G)
+    assert np.isfinite(float(scalars["loss/G/adversarial"]))  # hard sync
     dt = (time.perf_counter() - t0) / n_iters
 
     scans_per_sec = batch / dt

@@ -39,10 +39,18 @@ def main(argv=None):
     overrides = []
     for ov in argv:
         key = ov.split("=", 1)[0]
-        if key in ("total_iterations", "run_dir", "config_dir", "validate_samples"):
+        if key in ("total_iterations", "run_dir", "config_dir", "validate_samples",
+                   "profile_dir", "multihost"):
             extras[key] = ov.split("=", 1)[1]
         else:
             overrides.append(ov)
+
+    # multi-host pods: one process per host; XLA collectives over ICI/DCN
+    # replace the reference's mp.spawn/NCCL (train.py:37-50)
+    if extras.get("multihost") in ("1", "true", "True"):
+        import jax
+
+        jax.distributed.initialize()
 
     config_dir = extras.get("config_dir", osp.join(osp.dirname(__file__), "../../configs"))
     cfg = compose(osp.abspath(config_dir), overrides)
@@ -95,14 +103,36 @@ def main(argv=None):
                 logger.image_grid(f"{tag_prefix}/mask{sub}",
                                   np.repeat(mask[..., c : c + 1], 3, -1), step)
 
+    # log real samples once (reference: train.py:84-97)
+    if is_main:
+        first_batch = next(trainer.loader.epoch(0))
+        import jax.numpy as jnp
+
+        inv_real, mask_real = trainer.fetch_reals_host(first_batch)
+        from dusty_gan_tpu.utils.postprocess import postprocess
+
+        real = postprocess({"depth": inv_real, "mask": mask_real}, trainer.lidar)
+        log_images("real", real, 1)
+
+    # optional profiler trace (SURVEY.md §5.1: the reference has none)
+    profile_dir = extras.get("profile_dir")
+    if profile_dir:
+        import jax.profiler
+
     it = iter(trainer.loader)
     t_last = time.perf_counter()
     imgs_per_iter = trainer.batch_size
 
     for i in range(trainer.start_iteration + 1, total_iteration + 1):
+        if profile_dir and i == trainer.start_iteration + 4:
+            jax.profiler.start_trace(profile_dir)
         batch = next(it)
         scalars = trainer.step(i, batch)
         step_imgs = i * imgs_per_iter
+        if profile_dir and i == trainer.start_iteration + 8:
+            jax.block_until_ready(scalars)
+            jax.profiler.stop_trace()
+            print("profile trace written to", profile_dir)
 
         if is_main:
             if i % int(ckpt.save_stats) == 0 or i == 1:

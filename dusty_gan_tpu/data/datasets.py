@@ -85,6 +85,15 @@ class RangeImageDataset:
     def _process(self, points: np.ndarray, flip: bool) -> Dict[str, np.ndarray]:
         """Full-res value pipeline + flip + NEAREST subsample. NHWC-style
         (H, W, C) / (H, W) arrays."""
+        if self.modality == ("depth",):
+            # native C++ fast path (bit-equivalent; tests/test_native.py)
+            from dusty_gan_tpu.data import native
+
+            item = native.preprocess_item(
+                points, self.min_depth, self.max_depth, flip, self.shape
+            )
+            if item is not None:
+                return item
         out = {"xyz": points[..., :3]}
         if "reflectance" in self.modality:
             out["reflectance"] = points[..., 3:4]

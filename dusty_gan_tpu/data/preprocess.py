@@ -26,6 +26,12 @@ import numpy as np
 
 def project_scan(points: np.ndarray, H: int = 64, W: int = 2048) -> np.ndarray:
     """(N, C>=3) xyz[+extras] -> (H, W, C) range image. Nearest point wins."""
+    from dusty_gan_tpu.data import native
+
+    if not os.environ.get("DUSTY_GAN_TPU_NO_NATIVE"):
+        out = native.project_scan(points.astype(np.float32), H, W)
+        if out is not None:
+            return out
     xyz = points[:, :3]
     x, y = xyz[:, 0], xyz[:, 1]
     depth = np.linalg.norm(xyz, ord=2, axis=1)
@@ -55,11 +61,64 @@ def project_scan(points: np.ndarray, H: int = 64, W: int = 2048) -> np.ndarray:
     return proj
 
 
-def process_bin_file(point_path: str, save_path: str, H: int = 64, W: int = 2048):
+# SemanticKITTI raw-label -> train-id map (process_kitti.py:19-52)
+SEMANTIC_KITTI_LABELMAP = {
+    0: 0, 1: 0, 10: 1, 11: 2, 13: 5, 15: 3, 16: 5, 18: 4, 20: 5, 30: 6,
+    31: 7, 32: 8, 40: 9, 44: 10, 48: 11, 49: 12, 50: 13, 51: 14, 52: 0,
+    60: 9, 70: 15, 71: 16, 72: 17, 80: 18, 81: 19, 99: 0, 252: 1, 253: 7,
+    254: 6, 255: 8, 256: 5, 257: 5, 258: 4, 259: 5,
+}
+
+
+def _label_palette():
+    import matplotlib.cm as cm
+
+    n = max(SEMANTIC_KITTI_LABELMAP.values()) + 1
+    colors = cm.turbo(np.arange(n) / (n - 1))[:, :3] * 255
+    return list(np.uint8(colors).flatten())
+
+
+def _project_grid(points: np.ndarray, H: int, W: int):
+    """grid/order for label projection (shares the scan-line logic)."""
+    xyz = points[:, :3]
+    x, y = xyz[:, 0], xyz[:, 1]
+    depth = np.linalg.norm(xyz, ord=2, axis=1)
+    order = np.argsort(-depth)
+    quads = np.zeros_like(x, dtype=np.int32)
+    quads[(x < 0) & (y >= 0)] = 1
+    quads[(x < 0) & (y < 0)] = 2
+    quads[(x >= 0) & (y < 0)] = 3
+    diff = np.roll(quads, 1) - quads
+    (start_inds,) = np.where(diff == 3)
+    seg = np.searchsorted(start_inds, np.arange(len(quads)), side="right") - 1
+    grid_h = np.clip(np.where(seg < 0, 0, (H - len(start_inds)) + seg), 0, H - 1)
+    yaw = -np.arctan2(y, x)
+    grid_w = np.clip(
+        np.floor(((yaw / np.pi + 1.0) / 2.0 % 1.0) * W).astype(np.int64), 0, W - 1
+    )
+    return grid_h, grid_w, order
+
+
+def process_bin_file(point_path: str, save_path: str, H: int = 64, W: int = 2048,
+                     label_path: str = None, label_save_path: str = None):
     points = np.fromfile(point_path, dtype=np.float32).reshape(-1, 4)
     proj = project_scan(points, H, W)
     os.makedirs(osp.dirname(save_path), exist_ok=True)
     np.save(save_path, proj)
+
+    # optional SemanticKITTI labels -> paletted PNG (process_kitti.py:114-131)
+    if label_path and osp.exists(label_path) and label_save_path:
+        from PIL import Image
+
+        labels = np.fromfile(label_path, dtype=np.int32) & 0xFFFF
+        labels = np.vectorize(SEMANTIC_KITTI_LABELMAP.__getitem__)(labels)
+        gh, gw, order = _project_grid(points, H, W)
+        lab_img = np.zeros((H, W), labels.dtype)
+        lab_img[gh[order], gw[order]] = labels[order]
+        os.makedirs(osp.dirname(label_save_path), exist_ok=True)
+        img = Image.fromarray(np.uint8(lab_img), mode="P")
+        img.putpalette(_label_palette())
+        img.save(label_save_path)
     return proj
 
 
@@ -122,7 +181,12 @@ def process_kitti_root(root_dir: str, H: int = 64, W: int = 2048, verbose: bool 
         for point_path in sorted(glob(osp.join(split_dir, "velodyne", "*.bin"))):
             save_path = point_path.replace("dataset/sequences", "dusty-gan/sequences")
             save_path = save_path.replace(".bin", ".npy")
-            process_bin_file(point_path, save_path, H, W)
+            label_path = point_path.replace("/velodyne", "/labels").replace(".bin", ".label")
+            label_save = (
+                label_path.replace("dataset/sequences", "dusty-gan/sequences")
+                .replace(".label", ".png")
+            )
+            process_bin_file(point_path, save_path, H, W, label_path, label_save)
         if verbose:
             print("projected:", split_dir)
 

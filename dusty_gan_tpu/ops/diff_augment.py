@@ -56,21 +56,33 @@ def rand_contrast(key, x, band=0.5, p=1.0):
 
 
 def rand_translation(key, x, ratio=(1.0 / 8.0, 1.0 / 8.0), p=1.0):
+    """Per-image integer shift: vertical zero-fill, horizontal circular
+    modulo W-1 (the reference quirk, utils/diff_augment.py:66-69).
+
+    Implemented as one-hot permutation matmuls rather than gathers: batched
+    (H,H)/(W,W) selection matrices run on the MXU and differentiate as
+    transposed matmuls, where gather/scatter lowering is ~40x slower on TPU
+    for this shape."""
     b, h, w, _ = x.shape
     kh, kw, kp = jax.random.split(key, 3)
     shift_h = int(h * ratio[0] / 2 + 0.5)
     shift_w = int(w * ratio[1] / 2 + 0.5)
-    th = jax.random.randint(kh, (b, 1, 1), -shift_h, shift_h + 1)
-    tw = jax.random.randint(kw, (b, 1, 1), -shift_w, shift_w + 1)
-    # vertical: 1-row zero border, clamped indexing -> zero fill at edges
-    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
-    gh = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1)
-    gw = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
-    gh = jnp.clip(gh + th + 1, 0, h + 1)
-    gw = (gw + tw) % (w - 1)  # reference quirk: circular over W-1
-    y = jnp.take_along_axis(
-        jnp.take_along_axis(xp, gh[..., None], axis=1), gw[..., None], axis=2
-    )
+    th = jax.random.randint(kh, (b, 1), -shift_h, shift_h + 1)
+    tw = jax.random.randint(kw, (b, 1), -shift_w, shift_w + 1)
+
+    # vertical: out[i] = x[i + th] if 0 <= i+th < h else 0
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, h), 0)[None]  # out index i
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, h), 1)[None]  # src index k
+    hi = jax.lax.Precision.HIGHEST  # one-hot selection must be exact
+    pv = (cols == rows + th[:, :, None]).astype(x.dtype)  # (b,h,h)
+    y = jnp.einsum("bik,bkwc->biwc", pv, x, precision=hi)
+
+    # horizontal: out[j] = y[(j + tw) mod (w-1)]
+    out_j = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)[None]
+    src_k = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)[None]
+    ph = (src_k == (out_j + tw[:, :, None]) % (w - 1)).astype(x.dtype)  # (b,w,w)
+    y = jnp.einsum("bjk,bhkc->bhjc", ph, y, precision=hi)
+
     keep = jax.random.bernoulli(kp, p, (b, 1, 1, 1))
     return jnp.where(keep, y, x)
 

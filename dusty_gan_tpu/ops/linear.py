@@ -98,21 +98,67 @@ class EqualLRConvTranspose(nn.Module):
         scale = self.gain / math.sqrt(self.features * kh * kw)
         dtype = compute_dtype or x.dtype
         w = (w * scale).astype(dtype)
-        w = w[::-1, ::-1]  # ConvT == correlation with flipped kernel
-        ph = kh - 1 - self.padding[0]
-        pw = kw - 1 - self.padding[1]
-        assert ph >= 0 and pw >= 0, "use explicit cropping for negative pads"
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype), w,
-            window_strides=(1, 1),
-            padding=((ph, ph), (pw, pw)),
-            lhs_dilation=tuple(self.stride),
-            dimension_numbers=DIMS,
-        )
+        x = x.astype(dtype)
+        if (tuple(self.kernel), tuple(self.stride), tuple(self.padding)) == (
+            (4, 4), (2, 2), (3, 3)
+        ):
+            y = _convt_k4s2p3_subpixel(x, w)
+        else:
+            wf = w[::-1, ::-1]  # ConvT == correlation with flipped kernel
+            ph = kh - 1 - self.padding[0]
+            pw = kw - 1 - self.padding[1]
+            assert ph >= 0 and pw >= 0, "use explicit cropping for negative pads"
+            y = jax.lax.conv_general_dilated(
+                x, wf,
+                window_strides=(1, 1),
+                padding=((ph, ph), (pw, pw)),
+                lhs_dilation=tuple(self.stride),
+                dimension_numbers=DIMS,
+            )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
             y = y + b.astype(y.dtype)
         return y
+
+
+def _convt_k4s2p3_subpixel(x, w):
+    """ConvT(k=4, s=2, p=3) as four 2x2 phase convolutions + interleave.
+
+    The dilated-input formulation multiplies mostly zeros (and lowers
+    poorly on TPU); the subpixel decomposition does exactly the ConvT
+    FLOPs on dense tiles.  Derivation (per dimension, stored kernel w,
+    correlation taps K[t] = w[3-t], input pre-padded by 1):
+
+        out[2m]   = w[3] x[m]   + w[1] x[m+1]
+        out[2m+1] = w[2] x[m+1] + w[0] x[m+2]
+
+    so phase a in {0,1} uses stored rows (3,1) at offset 0 / (2,0) at
+    offset 1, and likewise for columns.  x: (B, I+2, J+2, C_in) ->
+    (B, 2I, 2J, C_out).
+    """
+    b, ip2, jp2, _ = x.shape
+    i, j = ip2 - 2, jp2 - 2
+    rsel = ((3, 1), (2, 0))
+    roff = (0, 1)
+    def sel(arr, idxs, axis):
+        # static slices (gather-free, and safe under nested traces)
+        return jnp.concatenate(
+            [jax.lax.slice_in_dim(arr, k, k + 1, axis=axis) for k in idxs], axis=axis
+        )
+
+    phases = []
+    for a in (0, 1):
+        for bb in (0, 1):
+            k_ab = sel(sel(w, rsel[a], 0), rsel[bb], 1)  # (2,2,I,O)
+            xs = x[:, roff[a] : roff[a] + i + 1, roff[bb] : roff[bb] + j + 1]
+            y_ab = jax.lax.conv_general_dilated(
+                xs, k_ab, (1, 1), "VALID", dimension_numbers=DIMS
+            )  # (B, i, j, O)
+            phases.append(y_ab)
+    y = jnp.stack(phases, axis=3)  # (B, i, j, 4, O)
+    y = y.reshape(b, i, j, 2, 2, -1)
+    y = jnp.transpose(y, (0, 1, 3, 2, 4, 5))  # (B, i, 2, j, 2, O)
+    return y.reshape(b, 2 * i, 2 * j, -1)
 
 
 class EqualLRProj(nn.Module):

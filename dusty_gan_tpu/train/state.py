@@ -26,10 +26,29 @@ class TrainState(struct.PyTreeNode):
     pl_ema: jax.Array
 
 
-def make_optimizer(lr: float, beta1: float, beta2: float, eps: float = 1e-8):
+def make_optimizer(
+    lr: float,
+    beta1: float,
+    beta2: float,
+    eps: float = 1e-8,
+    decay_gamma: float = 1.0,
+    decay_step_size: int = 1,
+    batch_size: int = 1,
+):
     """torch.optim.Adam equivalent (trainers/dcgan_amp.py:116-125):
-    optax.adam applies the same bias correction as torch."""
-    return optax.adam(lr, b1=beta1, b2=beta2, eps=eps)
+    optax.adam applies the same bias correction as torch.
+
+    ``decay_gamma``/``decay_step_size`` mirror the solver config's
+    ``lr.alpha.decay`` StepLR schedule (configs/solver/nsgan_eqlr.yaml:24-27;
+    gamma=1 in the reference config, i.e. constant)."""
+    if decay_gamma == 1.0:
+        return optax.adam(lr, b1=beta1, b2=beta2, eps=eps)
+    # optimizer step count == training iterations; schedule on iterations
+    sched = optax.exponential_decay(
+        lr, transition_steps=int(decay_step_size), decay_rate=float(decay_gamma),
+        staircase=True,
+    )
+    return optax.adam(sched, b1=beta1, b2=beta2, eps=eps)
 
 
 def create_train_state(

@@ -70,6 +70,7 @@ def make_train_step(
     optimizer_g,
     optimizer_d,
     gan_mode: str = "nsgan",
+    label_smoothing: float = 1.0,
     loss_weight: Optional[Dict[str, float]] = None,
     augment_policy=("brightness", "saturation", "contrast", "translation", "cutout"),
     augment_p: float = 1.0,
@@ -114,7 +115,7 @@ def make_train_step(
             y_real = d_fn(x_real_aug)
             r1 = jnp.zeros((), jnp.float32)
         y_fake = d_fn(x_fake_aug)
-        adv = losses.gan_loss_d(gan_mode, y_real, y_fake)
+        adv = losses.gan_loss_d(gan_mode, y_real, y_fake, smoothing=label_smoothing)
         loss = w_gan * adv + (w_gp / 2.0) * r1
         scalars = {
             "loss/D/output/real": jnp.mean(y_real),
@@ -127,6 +128,10 @@ def make_train_step(
 
     def d_phase(params_D, xs_real, xs_fake, keys):
         def loss_fn(p):
+            if A == 1:  # fast path: no scan machinery for the common config
+                loss, scalars = d_round_loss(p, xs_real[0], xs_fake[0], keys[0])
+                return loss, scalars
+
             def body(carry, xs):
                 x_real, x_fake, key = xs
                 loss, scalars = d_round_loss(p, x_real, x_fake, key)
@@ -143,33 +148,46 @@ def make_train_step(
     # ------------------------------------------------------------------
     # G phase
     # ------------------------------------------------------------------
+    def g_round_loss(p, params_D, pl_ema, x_real, z, gk, key, pl_key):
+        kr, kf = jax.random.split(key)
+        synth = apply_g(p, z, gk, cdt, train=True)
+        x_fake_aug = aug(kf, synth["depth"])
+        y_fake = apply_d(params_D, x_fake_aug)
+        if gan_mode in ("ragan", "rahinge", "ralsgan"):
+            y_real = apply_d(params_D, aug(kr, x_real))
+        else:
+            y_real = None
+        adv = losses.gan_loss_g(gan_mode, y_real, y_fake)
+        loss = w_gan * adv
+        scalars = {"loss/G/adversarial": adv}
+        if use_pl:
+            b_pl = z.shape[0] // pl_batch_shrink
+            z_pl = jax.random.normal(jax.random.fold_in(pl_key, 0), (b_pl, in_ch))
+            g_depth = lambda zz: apply_g(p, zz, gk, cdt, train=True)["depth"]
+            pl_pen, pl_ema = losses.path_length_penalty(
+                g_depth, z_pl, jax.random.fold_in(pl_key, 1), pl_ema, pl_decay
+            )
+            loss = loss + w_pl * pl_pen
+            scalars["loss/G/path_length"] = pl_pen
+            scalars["loss/G/path_length/baseline"] = pl_ema
+        return loss, scalars, pl_ema
+
     def g_phase(params_G, params_D, xs_real, zs, gumbel_keys, keys, pl_keys, pl_ema):
         params_D = jax.lax.stop_gradient(params_D)
 
         def loss_fn(p):
+            if A == 1:  # fast path: no scan machinery for the common config
+                loss, scalars, pl_ema_new = g_round_loss(
+                    p, params_D, pl_ema, xs_real[0], zs[0], gumbel_keys[0],
+                    keys[0], pl_keys[0],
+                )
+                return loss, (scalars, pl_ema_new)
+
             def body(pl_ema, xs):
                 x_real, z, gk, key, pl_key = xs
-                kr, kf = jax.random.split(key)
-                synth = apply_g(p, z, gk, cdt, train=True)
-                x_fake_aug = aug(kf, synth["depth"])
-                y_fake = apply_d(params_D, x_fake_aug)
-                if gan_mode in ("ragan", "rahinge", "ralsgan"):
-                    y_real = apply_d(params_D, aug(kr, x_real))
-                else:
-                    y_real = None
-                adv = losses.gan_loss_g(gan_mode, y_real, y_fake)
-                loss = w_gan * adv
-                scalars = {"loss/G/adversarial": adv}
-                if use_pl:
-                    b_pl = z.shape[0] // pl_batch_shrink
-                    z_pl = jax.random.normal(jax.random.fold_in(pl_key, 0), (b_pl, in_ch))
-                    g_depth = lambda zz: apply_g(p, zz, gk, cdt, train=True)["depth"]
-                    pl_pen, pl_ema = losses.path_length_penalty(
-                        g_depth, z_pl, jax.random.fold_in(pl_key, 1), pl_ema, pl_decay
-                    )
-                    loss = loss + w_pl * pl_pen
-                    scalars["loss/G/path_length"] = pl_pen
-                    scalars["loss/G/path_length/baseline"] = pl_ema
+                loss, scalars, pl_ema = g_round_loss(
+                    p, params_D, pl_ema, x_real, z, gk, key, pl_key
+                )
                 return pl_ema, (loss / A, scalars)
 
             pl_ema_new, (round_losses, scalars) = jax.lax.scan(
@@ -203,7 +221,10 @@ def make_train_step(
         def synth_round(z, gk):
             return apply_g(state.params_G, z, gk, cdt, train=True)["depth"]
 
-        xs_fake = jax.vmap(synth_round)(zs, gumbel_keys)
+        if A == 1:
+            xs_fake = synth_round(zs[0], gumbel_keys[0])[None]
+        else:
+            xs_fake = jax.vmap(synth_round)(zs, gumbel_keys)
         xs_fake = jax.lax.stop_gradient(xs_fake)
 
         # --- D update

@@ -82,14 +82,26 @@ class Trainer:
             self.batch_size / (float(cfg.solver.smoothing_kimg) * 1000.0)
         )
 
-        # optimizers
+        # optimizers (incl. the solver's StepLR-style decay schedule)
         lr = cfg.solver.lr
-        self.optimizer_g = make_optimizer(float(lr.alpha.gen), float(lr.beta1), float(lr.beta2))
-        self.optimizer_d = make_optimizer(float(lr.alpha.dis), float(lr.beta1), float(lr.beta2))
+        decay = lr.alpha.get("decay", {}) if hasattr(lr.alpha, "get") else {}
+        dk = dict(
+            decay_gamma=float(decay.get("gamma", 1.0)),
+            decay_step_size=int(decay.get("step_size", 1)),
+        )
+        self.optimizer_g = make_optimizer(float(lr.alpha.gen), float(lr.beta1), float(lr.beta2), **dk)
+        self.optimizer_d = make_optimizer(float(lr.alpha.dis), float(lr.beta1), float(lr.beta2), **dk)
 
         # datasets
         cache_dir = osp.join(cfg.dataset.root, "cache") if cfg.get("cache_dataset", True) else None
         self.dataset = define_dataset(cfg.dataset, phase="train", cache_dir=cache_dir)
+        need = self.batch_size * self.num_accumulation
+        if len(self.dataset) < need:
+            raise ValueError(
+                f"train split has {len(self.dataset)} scans but one step needs "
+                f"batch_size*num_accumulation = {need}; reduce solver.batch_size "
+                f"or add data (root={cfg.dataset.root})"
+            )
         self.loader = Loader(
             self.dataset,
             batch_size=self.batch_size * self.num_accumulation,
@@ -111,6 +123,7 @@ class Trainer:
             self.G, self.D, self.lidar,
             optimizer_g=self.optimizer_g, optimizer_d=self.optimizer_d,
             gan_mode=str(cfg.solver.gan_mode),
+            label_smoothing=float(cfg.solver.get("label", {}).get("smoothing", 1.0)),
             loss_weight=loss_weight,
             augment_policy=tuple(cfg.solver.augment or []),
             drop_const=float(cfg.model.gen.drop_const),

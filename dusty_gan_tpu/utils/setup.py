@@ -47,6 +47,10 @@ def setup(
     fix_noise: bool = True,
 ) -> Tuple[Config, Any, Dict, Any, Optional[Any]]:
     """Returns (cfg, G, params, lidar, fixed_noise)."""
+    if not osp.exists(model_path):
+        raise FileNotFoundError(f"model checkpoint not found: {model_path}")
+    if not osp.exists(config_path):
+        raise FileNotFoundError(f"config not found: {config_path}")
     cfg = load_config(config_path)
     cfg.model.gen.shape = list(cfg.dataset.shape)
     cfg.model.dis.shape = list(cfg.dataset.shape)
