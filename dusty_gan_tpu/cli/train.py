@@ -119,7 +119,7 @@ def main(argv=None):
     if profile_dir:
         import jax.profiler
 
-    it = iter(trainer.loader)
+    it = trainer.device_iter()
     t_last = time.perf_counter()
     imgs_per_iter = trainer.batch_size
 

@@ -16,9 +16,28 @@ materializes the (B, N, M) distance tensor.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+
+
+def _use_pallas() -> bool:
+    if os.environ.get("DUSTY_GAN_TPU_NO_PALLAS"):
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _nn(x, y, chunk: int):
+    """Dispatch: Pallas VMEM-tiled kernel on TPU, chunked XLA elsewhere."""
+    if _use_pallas():
+        from dusty_gan_tpu.metrics.chamfer_pallas import nn_pallas
+
+        return nn_pallas(x, y)
+    return _nn_chunked(x, y, chunk)
 
 
 def _nn_chunked(x, y, chunk: int):
@@ -38,7 +57,11 @@ def _nn_chunked(x, y, chunk: int):
     def body(carry, yc):
         best, best_idx, offset = carry
         y2 = jnp.sum(yc * yc, axis=-1)  # (B,chunk)
-        cross = jnp.einsum("bnc,bmc->bnm", x, yc)  # MXU
+        # HIGHEST: default matmul precision is bf16-grade on TPU, which
+        # corrupts NN distances by ~1e-2 (the Pallas kernel is exact)
+        cross = jnp.einsum(
+            "bnc,bmc->bnm", x, yc, precision=jax.lax.Precision.HIGHEST
+        )  # MXU
         d = x2[:, :, None] + y2[:, None, :] - 2.0 * cross  # (B,N,chunk)
         cmin = jnp.min(d, axis=-1)
         cidx = jnp.argmin(d, axis=-1).astype(jnp.int32) + offset
@@ -60,14 +83,14 @@ def _nn_chunked(x, y, chunk: int):
 def chamfer_distance(xyz1, xyz2, chunk: int = 512):
     """(B,N,3), (B,M,3) -> (dist1 (B,N), dist2 (B,M)) of squared NN
     distances, differentiable both ways (chamfer_distance.py:16-47)."""
-    d1, _ = _nn_chunked(xyz1, xyz2, chunk)
-    d2, _ = _nn_chunked(xyz2, xyz1, chunk)
+    d1, _ = _nn(xyz1, xyz2, chunk)
+    d2, _ = _nn(xyz2, xyz1, chunk)
     return d1, d2
 
 
 def _cd_fwd(xyz1, xyz2, chunk):
-    d1, i1 = _nn_chunked(xyz1, xyz2, chunk)
-    d2, i2 = _nn_chunked(xyz2, xyz1, chunk)
+    d1, i1 = _nn(xyz1, xyz2, chunk)
+    d2, i2 = _nn(xyz2, xyz1, chunk)
     return (d1, d2), (xyz1, xyz2, i1, i2)
 
 

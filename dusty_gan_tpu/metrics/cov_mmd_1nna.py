@@ -35,14 +35,23 @@ def _pairwise_distance(pcs_1, pcs_2, batch_size: int, metrics: Tuple[str, ...],
 
     fns = {"cd": row_cd, "emd": row_emd}
     out = {m: np.zeros((b1, b2), np.float32) for m in metrics}
+    symmetric = pcs_1 is pcs_2  # rr/gg matrices: compute the upper
+    # triangle only and mirror (CD/EMD are symmetric; the reference
+    # recomputes both halves, cov_mmd_1nna.py:33-51)
     for i in range(b1):
         one = pcs_1[i]
-        for j in range(0, b2, batch_size):
+        j_start = (i // batch_size) * batch_size if symmetric else 0
+        for j in range(j_start, b2, batch_size):
             chunk = pcs_2[j : j + batch_size]
             for m in metrics:
-                out[m][i, j : j + batch_size] = np.asarray(fns[m](one, chunk))
+                row = np.asarray(fns[m](one, chunk))
+                out[m][i, j : j + batch_size] = row
         if verbose and (i + 1) % 100 == 0:
             print(f"pairwise {metrics}: {i + 1}/{b1}")
+    if symmetric:
+        for m in metrics:
+            lower = np.tril_indices(b1, -1)
+            out[m][lower] = out[m].T[lower]
     return out
 
 

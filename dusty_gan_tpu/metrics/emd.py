@@ -20,12 +20,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+_HI = jax.lax.Precision.HIGHEST  # metric-grade f32 (TPU default is bf16-ish)
+
 
 def _sqdist(x, y):
     """(B,N,3),(B,M,3) -> (B,N,M) squared distances."""
     x2 = jnp.sum(x * x, axis=-1)[:, :, None]
     y2 = jnp.sum(y * y, axis=-1)[:, None, :]
-    cross = jnp.einsum("bnc,bmc->bnm", x, y)
+    cross = jnp.einsum("bnc,bmc->bnm", x, y, precision=_HI)
     return x2 + y2 - 2.0 * cross
 
 
@@ -52,10 +54,10 @@ def approx_match(xyz1, xyz2):
         level = jnp.where(j == -2, 0.0, -jnp.power(4.0, j.astype(jnp.float32)))
         w = jnp.exp(level * d)  # (B,N,M)
         # ratioL[k] = remainL[k] / (1e-9 + sum_l w[k,l]*remainR[l])   (cu:60-98)
-        suml = 1e-9 + jnp.einsum("bnm,bm->bn", w, remain_r)
+        suml = 1e-9 + jnp.einsum("bnm,bm->bn", w, remain_r, precision=_HI)
         ratio_l = remain_l / suml
         # column pass (cu:99-137)
-        sumr = jnp.einsum("bnm,bn->bm", w, ratio_l) * remain_r
+        sumr = jnp.einsum("bnm,bn->bm", w, ratio_l, precision=_HI) * remain_r
         consumption = jnp.minimum(remain_r / (sumr + 1e-9), 1.0)
         ratio_r = consumption * remain_r
         remain_r = jnp.maximum(0.0, remain_r - sumr)
@@ -74,9 +76,9 @@ def match_cost(xyz1, xyz2, match):
     three contractions — the (N, M) distance tensor is never formed."""
     row = jnp.sum(match, axis=2)  # (B,N)
     col = jnp.sum(match, axis=1)  # (B,M)
-    t1 = jnp.einsum("bn,bn->b", jnp.sum(xyz1 * xyz1, axis=-1), row)
-    t2 = jnp.einsum("bm,bm->b", jnp.sum(xyz2 * xyz2, axis=-1), col)
-    t3 = jnp.einsum("bnm,bnc,bmc->b", match, xyz1, xyz2)
+    t1 = jnp.einsum("bn,bn->b", jnp.sum(xyz1 * xyz1, axis=-1), row, precision=_HI)
+    t2 = jnp.einsum("bm,bm->b", jnp.sum(xyz2 * xyz2, axis=-1), col, precision=_HI)
+    t3 = jnp.einsum("bnm,bnc,bmc->b", match, xyz1, xyz2, precision=_HI)
     return t1 + t2 - 2.0 * t3
 
 

@@ -168,12 +168,31 @@ class Trainer:
                   f"ema decay {self.ema_decay:.6f}")
 
     # ------------------------------------------------------------------
-    def step(self, i: int, batch: Dict[str, np.ndarray]):
-        """One optimization step; returns logged scalars (floats)."""
-        batch = shard_batch(self.mesh, {
+    def shard(self, batch: Dict[str, np.ndarray]):
+        """Host batch -> device, sharded over the data mesh axis."""
+        return shard_batch(self.mesh, {
             "depth": jnp.asarray(batch["depth"]),
             "mask": jnp.asarray(batch["mask"]),
         })
+
+    def device_iter(self, lookahead: int = 2):
+        """Infinite iterator of device-resident sharded batches: the
+        host->device transfer of the next batches is issued while the
+        current step computes (hides transfer latency; the reference
+        relies on pinned-memory DataLoader workers for the same)."""
+        import collections
+
+        q = collections.deque()
+        it = iter(self.loader)
+        while True:
+            while len(q) < lookahead:
+                q.append(self.shard(next(it)))
+            yield q.popleft()
+
+    def step(self, i: int, batch: Dict[str, np.ndarray]):
+        """One optimization step; returns logged scalars (floats)."""
+        if not isinstance(next(iter(batch.values())), jax.Array):
+            batch = self.shard(batch)
         key = jax.random.fold_in(self.root_key, i)
         self.state, scalars = self._jstep(self.state, batch, key)
         return scalars
