@@ -115,13 +115,17 @@ def inversion(args):
 
     distances = args.distance.split(",")
 
+    def apply_composed(z, alpha):
+        kwargs = dict(compute_dtype=jnp.float32, compose_layer=args.compose_layer,
+                      compose_alpha=alpha)
+        if is_dusty:
+            kwargs.update(train=False, fixed_noise=fixed_noise)
+            return G.apply(params, z, rngs={"gumbel": jax.random.PRNGKey(0)}, **kwargs)
+        return G.apply(params, z, **kwargs)
+
     def loss_fn(latent):
         if args.num_code > 1:
-            z, alpha = latent["z"], latent["alpha"]
-            out = G.apply(
-                params, z, compute_dtype=jnp.float32,
-                compose_layer=args.compose_layer, compose_alpha=alpha,
-            ) if not is_dusty else _dusty_compose(z, alpha)
+            out = apply_composed(latent["z"], latent["alpha"])
         else:
             out = gen(latent)
         inv_gen = tanh_to_sigmoid(out["depth_orig"] if is_dusty else out["depth"])
@@ -135,14 +139,6 @@ def inversion(args):
         if "l2" in distances:
             loss = loss + losses.masked_loss(inv_c, inv_gen, mask_c, "l2")
         return loss
-
-    def _dusty_compose(z, alpha):
-        # DUSty wrappers forward extra kwargs to the backbone via apply on
-        # the full model; composition happens inside the backbone.
-        return G.apply(
-            params, z, compute_dtype=jnp.float32, train=False,
-            fixed_noise=fixed_noise, rngs={"gumbel": jax.random.PRNGKey(0)},
-        )
 
     if args.num_code > 1:
         # multi-code optimization: latent is a pytree {z, alpha}
@@ -164,10 +160,7 @@ def inversion(args):
             updates, opt_state = opt.update(grads, opt_state, lat)
             lat = optax.apply_updates(lat, updates)
             lat["z"] = project_sphere(lat["z"])
-        out = G.apply(
-            params, lat["z"], compute_dtype=jnp.float32,
-            compose_layer=args.compose_layer, compose_alpha=lat["alpha"],
-        )
+        out = apply_composed(lat["z"], lat["alpha"])
     else:
         run = jax.jit(make_inversion_loop(loss_fn, num_steps=args.num_step, lr=0.1))
         z0 = jax.random.normal(key, (1, int(cfg.model.gen.in_ch)))

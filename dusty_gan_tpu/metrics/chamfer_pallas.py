@@ -24,28 +24,47 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TN = 256  # rows of the distance tile resident in VMEM
+_TN = 256   # distance-tile rows resident in VMEM
+_TM = 2048  # distance-tile cols; (TN, TM) f32 = 2 MB << VMEM
 
 
 def _nn_kernel(x_ref, y_ref, dist_ref, idx_ref):
-    """x: (1, N, 3), y: (1, M, 3) -> dist (1, N, 1), idx (1, N, 1)."""
+    """x: (1, N, 3), y: (1, M, 3) -> dist (1, N, 1), idx (1, N, 1).
+    Tiled over both point axes with a running (min, argmin) so arbitrary
+    cloud sizes fit in VMEM (e.g. the demo's 16k-point full range images)."""
     n = x_ref.shape[1]
     m = y_ref.shape[1]
-    y0 = y_ref[0, :, 0][None, :]  # (1, M)
-    y1 = y_ref[0, :, 1][None, :]
-    y2 = y_ref[0, :, 2][None, :]
-    col = jax.lax.broadcasted_iota(jnp.int32, (_TN, m), 1)
-    for tn in range(n // _TN):
-        xt = x_ref[0, tn * _TN : (tn + 1) * _TN, :]  # (TN, 3)
-        d = (xt[:, 0][:, None] - y0) ** 2
-        d += (xt[:, 1][:, None] - y1) ** 2
-        d += (xt[:, 2][:, None] - y2) ** 2  # (TN, M)
-        best = jnp.min(d, axis=1)
-        # argmin via masked iota (first occurrence, like jnp.argmin)
-        hit = jnp.where(d == best[:, None], col, m)
-        bidx = jnp.min(hit, axis=1)
-        dist_ref[0, tn * _TN : (tn + 1) * _TN, 0] = best
-        idx_ref[0, tn * _TN : (tn + 1) * _TN, 0] = bidx
+    tm = min(_TM, m)
+    col = jax.lax.broadcasted_iota(jnp.int32, (_TN, tm), 1)
+
+    def n_tile(tn, _):
+        row = pl.ds(tn * _TN, _TN)
+        xt = x_ref[0, row, :]  # (TN, 3)
+        x0 = xt[:, 0][:, None]
+        x1 = xt[:, 1][:, None]
+        x2 = xt[:, 2][:, None]
+
+        def m_tile(tj, carry):
+            best, bidx = carry
+            sl = pl.ds(tj * tm, tm)
+            d = (x0 - y_ref[0, sl, 0][None, :]) ** 2
+            d += (x1 - y_ref[0, sl, 1][None, :]) ** 2
+            d += (x2 - y_ref[0, sl, 2][None, :]) ** 2  # (TN, tm)
+            tile_min = jnp.min(d, axis=1)
+            # argmin within tile via masked iota (first occurrence)
+            hit = jnp.where(d == tile_min[:, None], col, tm)
+            tile_idx = jnp.min(hit, axis=1) + tj * tm
+            take = tile_min < best
+            return jnp.where(take, tile_min, best), jnp.where(take, tile_idx, bidx)
+
+        best = jnp.full((_TN,), jnp.inf, jnp.float32)
+        bidx = jnp.zeros((_TN,), jnp.int32)
+        best, bidx = jax.lax.fori_loop(0, m // tm, m_tile, (best, bidx))
+        dist_ref[0, row, 0] = best
+        idx_ref[0, row, 0] = bidx
+        return 0
+
+    jax.lax.fori_loop(0, n // _TN, n_tile, 0)
 
 
 def _round_up(v: int, m: int) -> int:
@@ -58,7 +77,8 @@ def nn_pallas(x, y, interpret: bool = False):
     b, n, _ = x.shape
     m = y.shape[1]
     n_pad = _round_up(n, _TN)
-    m_pad = _round_up(m, 128)
+    # M must tile evenly: lane multiple when it fits in one tile, else _TM
+    m_pad = _round_up(m, 128) if m <= _TM else _round_up(m, _TM)
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
     if n_pad != n:

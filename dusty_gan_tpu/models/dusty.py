@@ -73,8 +73,10 @@ class DUSty1(nn.Module):
         train: bool = True,
         threshold: float = 0.5,
         fixed_noise: Any = None,
+        compose_layer=None,
+        compose_alpha=None,
     ):
-        out = dict(self.backbone(latent, compute_dtype))
+        out = dict(self.backbone(latent, compute_dtype, compose_layer, compose_alpha))
         depth = out["depth"]
         noise = fixed_noise if fixed_noise is not None else "sample"
         mask = GumbelSigmoid(tau=self.tau, hard=True, pixelwise=True, name="gumbel")(
@@ -101,8 +103,10 @@ class DUSty2(nn.Module):
         train: bool = True,
         threshold: float = 0.5,
         fixed_noise: Any = None,
+        compose_layer=None,
+        compose_alpha=None,
     ):
-        out = dict(self.backbone(latent, compute_dtype))
+        out = dict(self.backbone(latent, compute_dtype, compose_layer, compose_alpha))
         depth = out["depth"]
         logits = out["confidence"].astype(jnp.float32)  # (B,H,W,2)
         noise_pix = noise_img = "sample"

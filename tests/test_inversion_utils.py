@@ -1,0 +1,121 @@
+"""Inversion utilities, corruptions, interpolation, checkpoint round-trip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dusty_gan_tpu.utils import corruption as C
+from dusty_gan_tpu.utils.inversion import (
+    lerp,
+    make_inversion_loop,
+    project_sphere,
+    slerp,
+    stylegan2_lr_schedule,
+)
+
+
+class TestSchedules:
+    def test_lr_schedule_matches_reference_formula(self):
+        """evaluate_reconstruction.py:72-77 (numpy reimplementation)."""
+        num = 1000
+        for it in (0, 10, 250, 700, 999):
+            t = it / num
+            gamma = min(1.0, (1.0 - t) / 0.25)
+            gamma = 0.5 - 0.5 * np.cos(gamma * np.pi)
+            want = gamma * min(1.0, t / 0.05)
+            got = float(stylegan2_lr_schedule(jnp.asarray(float(it)), num))
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+    def test_project_sphere(self):
+        z = jnp.asarray(np.random.RandomState(0).randn(4, 64).astype(np.float32)) * 5
+        p = project_sphere(z)
+        np.testing.assert_allclose(np.mean(np.asarray(p) ** 2, axis=1), 1.0, rtol=1e-4)
+
+
+class TestInversionLoop:
+    def test_recovers_simple_target(self):
+        """quadratic loss: the loop should approach the target latent."""
+        target = jnp.asarray(np.random.RandomState(1).randn(2, 16).astype(np.float32))
+        target = project_sphere(target)
+
+        def loss_fn(z):
+            return jnp.sum((z - target) ** 2, axis=1)
+
+        run = jax.jit(make_inversion_loop(loss_fn, num_steps=200, lr=0.1))
+        z0 = jnp.asarray(np.random.RandomState(2).randn(2, 16).astype(np.float32))
+        z_star, final = run(z0, jax.random.PRNGKey(0))
+        assert np.asarray(final).max() < 0.05
+
+
+class TestInterp:
+    def test_endpoints(self):
+        a = jnp.asarray(np.random.RandomState(3).randn(1, 8).astype(np.float32))
+        b = jnp.asarray(np.random.RandomState(4).randn(1, 8).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(lerp(0.0, a, b)), np.asarray(a))
+        np.testing.assert_allclose(np.asarray(lerp(1.0, a, b)), np.asarray(b), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(slerp(0.0, a, b)), np.asarray(a), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(slerp(1.0, a, b)), np.asarray(b), rtol=1e-5)
+
+    def test_slerp_norm_interpolates(self):
+        a = jnp.asarray([[1.0, 0.0, 0.0, 0.0]])
+        b = jnp.asarray([[0.0, 1.0, 0.0, 0.0]])
+        mid = slerp(0.5, a, b)
+        np.testing.assert_allclose(float(jnp.linalg.norm(mid)), 1.0, rtol=1e-5)
+
+
+class TestCorruptions:
+    def setup_method(self):
+        self.key = jax.random.PRNGKey(0)
+        rng = np.random.RandomState(5)
+        self.depth = jnp.asarray(rng.uniform(0.1, 1, (2, 16, 32, 1)).astype(np.float32))
+        self.mask = jnp.ones((2, 16, 32, 1))
+
+    def test_half_and_quarter(self):
+        m = C.corrupt_half(self.mask)
+        assert float(m[:, :, 16:].sum()) == 0 and float(m[:, :, :16].sum()) > 0
+        q = C.corrupt_quarter(self.mask)
+        np.testing.assert_allclose(float(q.mean()), 0.5)
+
+    def test_sparse_lines(self):
+        m = C.sparse_hlines(self.mask, 1 / 4)
+        assert float(m[:, 0].mean()) == 1.0 and float(m[:, 1].mean()) == 0.0
+
+    def test_dropout_rate(self):
+        m = C.dropout_noise(self.key, self.mask, rate=0.5)
+        assert 0.3 < float(m.mean()) < 0.7
+
+    def test_closing_fills_holes(self):
+        inv = self.depth.at[:, 4:8, 4:8].set(0.0)
+        filled = C.closing(inv)
+        assert float((filled <= 1e-8).sum()) == 0
+
+    def test_apply_corruption_dispatch(self):
+        for name in ("additive noise", "low resolution", "dropout", "closing",
+                     "half", "quarter", "vlines", "none"):
+            d, m = C.apply_corruption(self.key, self.depth, self.mask, name)
+            assert d.shape == self.depth.shape and m.shape == self.mask.shape
+        with pytest.raises(NotImplementedError):
+            C.apply_corruption(self.key, self.depth, self.mask, "bogus")
+
+
+class TestCheckpointRoundtrip:
+    def test_save_restore_bitexact(self, tmp_path):
+        from dusty_gan_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+        from dusty_gan_tpu.train.state import TrainState
+
+        state = TrainState(
+            step=jnp.asarray(42),
+            params_G={"w": jnp.arange(6.0).reshape(2, 3)},
+            params_D={"w": jnp.ones((3,))},
+            params_G_ema={"w": jnp.zeros((2, 3))},
+            opt_G={"mu": jnp.ones((2, 3))},
+            opt_D={"mu": jnp.zeros((3,))},
+            pl_ema=jnp.asarray(0.5),
+        )
+        path = save_checkpoint(str(tmp_path / "ck.ckpt"), state, jax.random.PRNGKey(7))
+        restored, key = restore_checkpoint(path, state)
+        assert int(restored.step) == 42
+        np.testing.assert_array_equal(np.asarray(restored.params_G["w"]),
+                                      np.asarray(state.params_G["w"]))
+        np.testing.assert_array_equal(key, np.asarray(jax.random.PRNGKey(7)))
