@@ -84,8 +84,9 @@ def main(argv=None):
         z0 = jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(1), bi), (b, in_ch))
         z_star, _ = run(z0, jax.random.fold_in(jax.random.PRNGKey(2), bi))
 
-        out = postprocess(gen(z_star), lidar, tol=args.tol)
-        inv_gen = tanh_to_sigmoid(gen(z_star)["depth_orig" if is_dusty else "depth"])
+        raw = gen(z_star)
+        out = postprocess(raw, lidar, tol=args.tol)
+        inv_gen = tanh_to_sigmoid(raw["depth_orig" if is_dusty else "depth"])
         points_gen = out["points"].reshape(b, -1, 3)
         points_ref = xyz_ref.reshape(b, -1, 3)
         depth_gen = lidar.revert_depth(inv_gen, norm=False)

@@ -106,8 +106,6 @@ def main(argv=None):
     # log real samples once (reference: train.py:84-97)
     if is_main:
         first_batch = next(trainer.loader.epoch(0))
-        import jax.numpy as jnp
-
         inv_real, mask_real = trainer.fetch_reals_host(first_batch)
         from dusty_gan_tpu.utils.postprocess import postprocess
 

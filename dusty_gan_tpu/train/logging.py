@@ -64,6 +64,7 @@ class RunLogger:
     def scalars(self, mapping: dict, step: int):
         for k, v in mapping.items():
             self.scalar(k, v, step)
+        self._jsonl.flush()
 
     def image(self, tag: str, img_hwc: np.ndarray, step: int):
         """img in [0,1], (H,W,C)."""

@@ -198,8 +198,10 @@ class Trainer:
         return scalars
 
     # ------------------------------------------------------------------
-    def generate(self, ema: bool = True, latent=None, key=None, train_mode: bool = True):
-        """Sample + postprocess for image logging (dcgan_amp.py:330-341)."""
+    def generate(self, ema: bool = True, latent=None, key=None, train_mode: bool = False):
+        """Sample + postprocess for image logging (dcgan_amp.py:330-341).
+        Eval-mode semantics like the reference (G_ema.eval(): DUSty2
+        thresholds its image-level mask; pixel noise still samples)."""
         params = self.state.params_G_ema if ema else self.state.params_G
         z = self.fixed_latent if latent is None else latent
         key = jax.random.fold_in(self.root_key, 0x9E0) if key is None else key
@@ -242,7 +244,7 @@ class Trainer:
             z = jax.random.normal(key, (b, int(self.cfg.model.gen.in_ch)))
             out = self.apply_g(
                 self.state.params_G_ema, z, jax.random.fold_in(key, 1),
-                self.policy.compute_dtype, train=True,
+                self.policy.compute_dtype, train=False,  # G_ema.eval() semantics
             )
             fake_2d.append(out["depth"])
             fake_3d.append(inv_to_pts(out["depth"]))
