@@ -34,6 +34,8 @@ def main(argv=None):
     parser.add_argument("--tol", type=float, default=0)
     parser.add_argument("--compute-gt", action="store_true")
     parser.add_argument("--cd-batch", type=int, default=512)
+    parser.add_argument("--metrics", type=str, default="cd",
+                        help="comma list: cd[,emd] (reference protocol: cd)")
     args = parser.parse_args(argv)
 
     import jax
@@ -99,11 +101,15 @@ def main(argv=None):
             reals[subset][mode] = jnp.asarray(arr)
             print("real", subset, mode, tuple(reals[subset][mode].shape))
 
+    metrics = tuple(m.strip() for m in args.metrics.split(",") if m.strip())
+
     def score(gen_2d, gen_3d, ref_2d, ref_3d):
         scores = {}
         scores.update(compute_swd(gen_2d, ref_2d))
         scores["jsd"] = compute_jsd(gen_3d / 2.0, ref_3d / 2.0)
-        scores.update(compute_cov_mmd_1nna(gen_3d, ref_3d, args.cd_batch, ("cd",), verbose=True))
+        scores.update(
+            compute_cov_mmd_1nna(gen_3d, ref_3d, args.cd_batch, metrics, verbose=True)
+        )
         return scores
 
     timestamp = datetime.datetime.now().isoformat()

@@ -4,7 +4,10 @@ its multi-GPU code is only testable on GPUs)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu (not setdefault): the shell may export JAX_PLATFORMS=axon/tpu,
+# and the suite's multi-device tests require the 8-device virtual CPU mesh.
+# Set DUSTY_TESTS_PLATFORM to override deliberately.
+os.environ["JAX_PLATFORMS"] = os.environ.get("DUSTY_TESTS_PLATFORM", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
@@ -14,6 +17,11 @@ import sys
 
 import jax
 import pytest
+
+# jax may have been imported by a pytest plugin before this conftest ran,
+# in which case the env var above was read too late — set the config
+# directly (effective until the backend is first initialized).
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 # f32 parity tests need true f32 conv/matmul accumulation; production code
 # controls precision explicitly via compute_dtype casts.
