@@ -32,11 +32,18 @@ def _use_pallas() -> bool:
 
 
 def _nn(x, y, chunk: int):
-    """Dispatch: Pallas VMEM-tiled kernel on TPU, chunked XLA elsewhere."""
+    """Dispatch: Pallas VMEM-tiled kernel on TPU, chunked XLA elsewhere.
+    Falls back to the XLA path if the Pallas compile fails at call time
+    (remote-compile helpers have shape-dependent flakes)."""
     if _use_pallas():
         from dusty_gan_tpu.metrics.chamfer_pallas import nn_pallas
 
-        return nn_pallas(x, y)
+        try:
+            return nn_pallas(x, y)
+        except Exception as e:  # trace-time dispatch can't be retried inside jit
+            if isinstance(x, jax.core.Tracer):
+                raise
+            print(f"pallas chamfer failed ({type(e).__name__}); XLA fallback")
     return _nn_chunked(x, y, chunk)
 
 

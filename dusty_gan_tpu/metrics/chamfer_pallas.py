@@ -71,9 +71,25 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
+def nn_pallas(x, y, interpret: bool = False, max_batch: int = 16):
+    """(B,N,3), (B,M,3) -> (min sq dist (B,N) f32, argmin (B,N) i32).
+    Large batches run as grid chunks of ``max_batch`` programs (very large
+    grids with big per-program point counts upset some TPU compilers)."""
+    b = x.shape[0]
+    if b > max_batch and x.shape[1] * y.shape[1] > 2**22:
+        parts = [
+            _nn_pallas_jit(x[i : i + max_batch], y[i : i + max_batch], interpret)
+            for i in range(0, b, max_batch)
+        ]
+        import jax.numpy as _jnp
+
+        return (_jnp.concatenate([p[0] for p in parts]),
+                _jnp.concatenate([p[1] for p in parts]))
+    return _nn_pallas_jit(x, y, interpret)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def nn_pallas(x, y, interpret: bool = False):
-    """(B,N,3), (B,M,3) -> (min sq dist (B,N) f32, argmin (B,N) i32)."""
+def _nn_pallas_jit(x, y, interpret: bool = False):
     b, n, _ = x.shape
     m = y.shape[1]
     n_pad = _round_up(n, _TN)
