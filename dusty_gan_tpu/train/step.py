@@ -108,6 +108,9 @@ def make_train_step(
         kr, kf = jax.random.split(key)
         x_real_aug = aug(kr, x_real)
         x_fake_aug = jax.lax.stop_gradient(aug(kf, x_fake))
+        # NOTE: fusing real+fake into one concatenated D pass was tried and
+        # reverted — R1's input-vjp then back-propagates the doubled batch
+        # (the zero cotangent on the fake half isn't free), a net loss.
         d_fn = lambda x: apply_d(params_D, x)
         if use_gp:
             r1, y_real = losses.r1_penalty(d_fn, x_real_aug)
