@@ -83,8 +83,9 @@ def make_train_step(
     pl_batch_shrink: int = 2,
 ):
     """Build the train step. Call via jit with batch leading dim =
-    num_accumulation * batch_size (the GLOBAL batch; shard it over the
-    data mesh axis)."""
+    batch_size (the GLOBAL per-iteration batch, reference semantics:
+    accumulation SPLITS it into batch_size/A microbatches,
+    train.py:54-57); shard it over the data mesh axis."""
     lw = dict(loss_weight or {"gan": 1.0, "gp": 1.0, "pl": 0.0})
     w_gan = float(lw.get("gan", 1.0))
     w_gp = float(lw.get("gp", 0.0))

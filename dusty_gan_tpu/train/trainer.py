@@ -95,16 +95,18 @@ class Trainer:
         # datasets
         cache_dir = osp.join(cfg.dataset.root, "cache") if cfg.get("cache_dataset", True) else None
         self.dataset = define_dataset(cfg.dataset, phase="train", cache_dir=cache_dir)
-        need = self.batch_size * self.num_accumulation
-        if len(self.dataset) < need:
+        if len(self.dataset) < self.batch_size:
             raise ValueError(
                 f"train split has {len(self.dataset)} scans but one step needs "
-                f"batch_size*num_accumulation = {need}; reduce solver.batch_size "
+                f"batch_size = {self.batch_size}; reduce solver.batch_size "
                 f"or add data (root={cfg.dataset.root})"
             )
+        # one iteration consumes batch_size images TOTAL, split across
+        # accumulation rounds (train.py:54-57: local batch = batch/accum)
+        assert self.batch_size % self.num_accumulation == 0
         self.loader = Loader(
             self.dataset,
-            batch_size=self.batch_size * self.num_accumulation,
+            batch_size=self.batch_size,
             shuffle=True,
             drop_last=True,
             seed=int(cfg.get("seed") or 0),

@@ -116,9 +116,11 @@ class TestTrainStep:
         assert last < first
 
     def test_gradient_accumulation_shapes(self):
+        # reference semantics: the SAME total batch, split into A rounds
         step, state = build(num_accumulation=2)
-        s1, scalars = jax.jit(step)(state, synthetic_batch(16), jax.random.PRNGKey(1))
+        s1, scalars = jax.jit(step)(state, synthetic_batch(8), jax.random.PRNGKey(1))
         assert np.isfinite(float(scalars["loss/D/adversarial"]))
+        assert int(s1.step) == 8
 
     def test_path_length_reg(self):
         step, state = build(loss_weight={"gan": 1, "gp": 1, "pl": 2})
