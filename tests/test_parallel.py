@@ -44,3 +44,17 @@ class TestMesh:
         for s in slices:
             seen.extend(range(s.start, s.stop))
         assert seen == list(range(32))
+
+
+class TestDryrunHermetic:
+    def test_dryrun_multichip_under_hostile_env(self, monkeypatch):
+        """The driver invokes dryrun_multichip from a shell exporting
+        JAX_PLATFORMS=axon (a real remote-TPU plugin that cannot host an
+        8-device mesh); round 1 failed exactly here (MULTICHIP_r01.json
+        rc=1). The entry point must scrub/force its own backend env."""
+        import __graft_entry__ as ge
+
+        monkeypatch.setenv("JAX_PLATFORMS", "axon")
+        monkeypatch.setenv("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+        monkeypatch.setenv("TPU_SKIP_MDS_QUERY", "1")
+        ge.dryrun_multichip(4)  # raises on subprocess failure
