@@ -1,68 +1,127 @@
 """Benchmark: full GAN train step (D+R1+G+EMA) throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. Primary metric is the flagship DUSty-II step; the
+same line also carries hardware-grounded FLOPs (XLA cost analysis of the
+compiled step), MFU vs the chip's bf16 peak, and per-variant throughput
+for the reference's other two model families (baseline none/dcgan_eqlr
+and DUSty-I).
 
 Protocol matches the reference training configuration exactly
-(configs/solver/nsgan_eqlr.yaml): DUSty-II generator + discriminator at
-64x256, global batch 32, nsgan + R1(weight 1, halved in code) + full
-DiffAugment policy + EMA, bf16 compute / f32 state.
+(configs/solver/nsgan_eqlr.yaml): generator + discriminator at 64x256,
+global batch 32, nsgan + R1(weight 1, halved in code) + full DiffAugment
+policy + EMA, bf16 compute / f32 state.
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
 the denominator is BASELINE.md's documented estimate of the reference
-PyTorch DDP trainer on a 2021-class NVIDIA GPU (400 scans/sec).  The
-BASELINE.json north star is >=3x, i.e. vs_baseline >= 3.0.
+PyTorch DDP trainer on a 2021-class NVIDIA GPU (400 scans/sec). The
+BASELINE.json north star is >=3x, i.e. vs_baseline >= 3.0. The MFU field
+exists so the perf claim also stands on a denominator-free number.
+
+``python bench.py --breakdown`` additionally times the DUSty-II step with
+R1 and/or DiffAugment disabled (cost attribution for docs/PERF.md); the
+driver runs plain ``python bench.py`` and still gets exactly one line.
 """
 
 import json
 import os
+import sys
 import time
 
 REFERENCE_GPU_SCANS_PER_SEC = 400.0  # documented estimate, see BASELINE.md
 
+# bf16 MXU peak per chip, by jax device_kind. v5e: 197 TFLOP/s.
+PEAK_BF16_FLOPS = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+}
+
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
+H, W, BATCH = 64, 256, 32
 
-def main():
+
+def _build_variant(arch: str):
+    """Train-step callable + state + data for one model family.
+
+    arch strings match the reference's ``gen.arch`` exactly
+    (models/__init__.py:5-36): none/dcgan_eqlr, dusty1/dcgan_eqlr,
+    dusty2/dcgan_eqlr.
+    """
     import jax
-    import jax.numpy as jnp
     import numpy as np
+    import jax.numpy as jnp
 
     from dusty_gan_tpu.geometry.lidar import Lidar
-    from dusty_gan_tpu.models.dcgan_eqlr import Discriminator, Generator
-    from dusty_gan_tpu.models.dusty import DUSty2
+    from dusty_gan_tpu.models.factory import define_D, define_G
     from dusty_gan_tpu.train.state import create_train_state, make_optimizer
     from dusty_gan_tpu.train.step import make_train_step
 
-    h, w, batch = 64, 256, 32
-    G = DUSty2(
-        backbone=Generator(in_ch=512, out_ch={"depth": 1, "confidence": 2},
-                           ch_base=64, ch_max=512, shape=(h, w)),
-        tau=1.0,
-    )
-    D = Discriminator(in_ch=1, ch_base=64, ch_max=512, shape=(h, w))
-    pitch = np.radians(np.linspace(2.0, -24.8, h))[:, None] * np.ones((1, w))
-    yaw = np.linspace(np.pi, -np.pi, w, endpoint=False)[None, :] * np.ones((h, 1))
+    masker = arch.split("/")[0]
+    out_ch = {"none": {"depth": 1},
+              "dusty1": {"depth": 1, "confidence": 1},
+              "dusty2": {"depth": 1, "confidence": 2}}[masker]
+    cfg = {
+        "model": {
+            "gen": {"arch": arch, "in_ch": 512, "out_ch": out_ch,
+                    "ch_base": 64, "ch_max": 512, "shape": (H, W), "tau": 1.0,
+                    "drop_const": -1.0},
+            "dis": {"arch": "dcgan_eqlr", "in_ch": 1, "ch_base": 64,
+                    "ch_max": 512, "shape": (H, W)},
+            "ring": True,
+        }
+    }
+    G, D = define_G(cfg), define_D(cfg)
+    pitch = np.radians(np.linspace(2.0, -24.8, H))[:, None] * np.ones((1, W))
+    yaw = np.linspace(np.pi, -np.pi, W, endpoint=False)[None, :] * np.ones((H, 1))
     lidar = Lidar.from_angle_array(
-        np.stack([pitch, yaw]).astype(np.float32), (h, w), 0.9, 120.0
+        np.stack([pitch, yaw]).astype(np.float32), (H, W), 0.9, 120.0
     )
     opt_g = make_optimizer(2e-3, 0.0, 0.99)
     opt_d = make_optimizer(2e-3, 0.0, 0.99)
-    step = make_train_step(
-        G, D, lidar, optimizer_g=opt_g, optimizer_d=opt_d, batch_size=batch,
-        loss_weight={"gan": 1.0, "gp": 1.0, "pl": 0.0},
-    )
-    state = create_train_state(
-        jax.random.PRNGKey(0), G, D, in_ch=512, image_shape=(h, w),
-        optimizer_g=opt_g, optimizer_d=opt_d, needs_gumbel=True,
-    )
+
+    def make(loss_weight=None, augment_policy=None):
+        kwargs = {}
+        if augment_policy is not None:
+            kwargs["augment_policy"] = augment_policy
+        step = make_train_step(
+            G, D, lidar, optimizer_g=opt_g, optimizer_d=opt_d,
+            batch_size=BATCH,
+            loss_weight=loss_weight or {"gan": 1.0, "gp": 1.0, "pl": 0.0},
+            **kwargs,
+        )
+        state = create_train_state(
+            jax.random.PRNGKey(0), G, D, in_ch=512, image_shape=(H, W),
+            optimizer_g=opt_g, optimizer_d=opt_d,
+            needs_gumbel=masker != "none",
+        )
+        return step, state
+
     rng = np.random.RandomState(0)
     batch_data = {
-        "depth": jnp.asarray(rng.uniform(0.05, 1, (batch, h, w, 1)).astype(np.float32)),
-        "mask": jnp.asarray((rng.uniform(size=(batch, h, w, 1)) > 0.1).astype(np.float32)),
+        "depth": jnp.asarray(rng.uniform(0.05, 1, (BATCH, H, W, 1)).astype(np.float32)),
+        "mask": jnp.asarray((rng.uniform(size=(BATCH, H, W, 1)) > 0.1).astype(np.float32)),
     }
+    return make, batch_data
+
+
+def _time_step(step, state, batch_data, n_iters=50, n_windows=4):
+    """Steady-state seconds/step (best window) + compiled-step FLOPs."""
+    import jax
+    import numpy as np
 
     jstep = jax.jit(step, donate_argnums=(0,))
     key = jax.random.PRNGKey(1)
+
+    # FLOPs of the exact compiled executable (post-fusion HLO cost model) —
+    # hardware-grounded, no hand count. lower() before the donated buffers
+    # are consumed by the timing loop.
+    cost = jstep.lower(state, batch_data, key).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {}
+    flops = float(cost.get("flops", 0.0)) if cost else 0.0
 
     # warmup / compile (sync by VALUE fetch: through remote-TPU tunnels,
     # block_until_ready can return before the dependent chain executes)
@@ -72,7 +131,6 @@ def main():
 
     # best of several windows: the shared tunnel/device adds +-40% noise,
     # and the fastest window is closest to the machine's true capability
-    n_iters, n_windows = 50, 4
     dt = float("inf")
     for w in range(n_windows):
         t0 = time.perf_counter()
@@ -80,14 +138,56 @@ def main():
             state, scalars = jstep(state, batch_data, jax.random.fold_in(key, w * 1000 + i))
         assert np.isfinite(float(scalars["loss/G/adversarial"]))  # hard sync
         dt = min(dt, (time.perf_counter() - t0) / n_iters)
+    return dt, flops
 
-    scans_per_sec = batch / dt
+
+def main():
+    import jax
+
+    dev = jax.devices()[0]
+    peak = PEAK_BF16_FLOPS.get(dev.device_kind)
+
+    variants = {}
+    for arch in ("dusty2/dcgan_eqlr", "dusty1/dcgan_eqlr", "none/dcgan_eqlr"):
+        make, batch_data = _build_variant(arch)
+        step, state = make()
+        dt, flops = _time_step(step, state, batch_data)
+        variants[arch] = {
+            "scans_per_sec": round(BATCH / dt, 2),
+            "step_ms": round(dt * 1e3, 3),
+            "step_flops": flops,
+            "mfu_pct": round(100.0 * flops / dt / peak, 2) if peak else None,
+        }
+
+    flagship = variants["dusty2/dcgan_eqlr"]
+    scans_per_sec = flagship["scans_per_sec"]
     print(json.dumps({
         "metric": "train_step_scans_per_sec",
-        "value": round(scans_per_sec, 2),
+        "value": scans_per_sec,
         "unit": "scans/sec/chip (G+D step, 64x256, batch 32)",
         "vs_baseline": round(scans_per_sec / REFERENCE_GPU_SCANS_PER_SEC, 3),
+        "step_flops": flagship["step_flops"],
+        "step_ms": flagship["step_ms"],
+        "mfu_pct": flagship["mfu_pct"],
+        "device": dev.device_kind,
+        "variants": variants,
     }))
+
+    if "--breakdown" in sys.argv[1:]:
+        make, batch_data = _build_variant("dusty2/dcgan_eqlr")
+        rows = {
+            "full (R1 + DiffAugment)": make(),
+            "no R1": make(loss_weight={"gan": 1.0, "gp": 0.0, "pl": 0.0}),
+            "no DiffAugment": make(augment_policy=()),
+            "no R1, no DiffAugment": make(
+                loss_weight={"gan": 1.0, "gp": 0.0, "pl": 0.0}, augment_policy=()
+            ),
+        }
+        for name, (step, state) in rows.items():
+            dt, flops = _time_step(step, state, batch_data)
+            mfu = round(100.0 * flops / dt / peak, 2) if peak else None
+            print(f"breakdown | {name:28s} | {dt*1e3:7.3f} ms/step | "
+                  f"{flops/1e9:7.2f} GF | MFU {mfu}%", file=sys.stderr)
 
 
 if __name__ == "__main__":
