@@ -11,8 +11,12 @@ decaying latent noise, 1000 steps) against the masked L1/L2 on
 ``depth_orig`` (DUSty) or ``depth`` (baseline); then CD + depth errors/
 accuracies + drop-rate statistics -> CSV.
 
-The reference parallelizes via nn.DataParallel; here the whole 1000-step
-loop is one jitted ``fori_loop`` per batch.
+The reference parallelizes via nn.DataParallel (evaluate_reconstruction.py:
+11,40); here the whole 1000-step loop is one jitted ``fori_loop`` with the
+batch sharded over the full data mesh (the inversion is embarrassingly
+parallel over samples) and params/fixed-noise replicated — every local chip
+works. Compiled once per batch *shape*: references are passed as arguments,
+not closed over, so identical-shape batches hit the jit cache.
 """
 
 from __future__ import annotations
@@ -52,9 +56,18 @@ def main(argv=None):
     from dusty_gan_tpu.utils.postprocess import postprocess
     from dusty_gan_tpu.utils.setup import make_eval_generator, setup
 
+    from dusty_gan_tpu.parallel.mesh import (
+        batch_sharding, create_mesh, replicated, shard_eval_inputs,
+    )
+
     cfg, G, params, lidar, fixed_noise = setup(
         args.model_path, args.config_path, ema=True, fix_noise=True
     )
+    mesh = create_mesh()
+    rep = replicated(mesh)
+    params = jax.device_put(params, rep)
+    if fixed_noise is not None:
+        fixed_noise = jax.device_put(fixed_noise, rep)
     gen = make_eval_generator(G, params, fixed_noise)
     is_dusty = "dusty" in str(cfg.model.gen.arch)
     in_ch = int(cfg.model.gen.in_ch)
@@ -62,43 +75,54 @@ def main(argv=None):
     dataset = define_dataset(cfg.dataset, phase="test")
     loader = Loader(dataset, batch_size=args.batch_size, shuffle=False, drop_last=False)
 
-    def fetch(batch):
-        depth = jnp.asarray(batch["depth"])
-        mask = jnp.asarray(batch["mask"])
-        inv = lidar.invert_depth(depth) * mask  # [0,1], dropped -> 0 (:66-70)
-        return inv, mask, jnp.asarray(batch["xyz"])
-
-    results = defaultdict(list)
-    for bi, batch in enumerate(loader.epoch(0)):
-        if args.max_batches >= 0 and bi >= args.max_batches:
-            break
-        inv_ref, mask_ref, xyz_ref = fetch(batch)
-        b = inv_ref.shape[0]
-
+    @jax.jit
+    def invert(z0, key, inv_ref, mask_ref):
         def loss_fn(latent):
             out = gen(latent)
             inv_gen = tanh_to_sigmoid(out["depth_orig"] if is_dusty else out["depth"])
             return losses.masked_loss(inv_ref, inv_gen, mask_ref, args.distance)
 
-        run = jax.jit(make_inversion_loop(loss_fn, num_steps=args.num_step, lr=0.1))
-        z0 = jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(1), bi), (b, in_ch))
-        z_star, _ = run(z0, jax.random.fold_in(jax.random.PRNGKey(2), bi))
+        return make_inversion_loop(loss_fn, num_steps=args.num_step, lr=0.1)(z0, key)
+
+    results = defaultdict(list)
+    for bi, batch in enumerate(loader.epoch(0)):
+        if args.max_batches >= 0 and bi >= args.max_batches:
+            break
+        depth = np.asarray(batch["depth"])
+        mask = np.asarray(batch["mask"])
+        sharded, b = shard_eval_inputs(
+            mesh, {"depth": depth, "mask": mask, "xyz": np.asarray(batch["xyz"])}
+        )
+        mask_ref = sharded["mask"]
+        # [0,1], dropped -> 0 (:66-70)
+        inv_ref = lidar.invert_depth(sharded["depth"]) * mask_ref
+        xyz_ref = sharded["xyz"]
+        bp = inv_ref.shape[0]  # padded batch (multiple of mesh size)
+
+        z0 = jax.device_put(
+            np.asarray(jax.random.normal(
+                jax.random.fold_in(jax.random.PRNGKey(1), bi), (bp, in_ch))),
+            batch_sharding(mesh),
+        )
+        z_star, _ = invert(z0, jax.random.fold_in(jax.random.PRNGKey(2), bi),
+                           inv_ref, mask_ref)
 
         raw = gen(z_star)
         out = postprocess(raw, lidar, tol=args.tol)
         inv_gen = tanh_to_sigmoid(raw["depth_orig" if is_dusty else "depth"])
-        points_gen = out["points"].reshape(b, -1, 3)
-        points_ref = xyz_ref.reshape(b, -1, 3)
+        points_gen = out["points"].reshape(bp, -1, 3)
+        points_ref = xyz_ref.reshape(bp, -1, 3)
         depth_gen = lidar.revert_depth(inv_gen, norm=False)
         depth_ref = lidar.revert_depth(jnp.asarray(inv_ref), norm=False)
 
-        results["cd"] += np.asarray(compute_cd(points_ref, points_gen)).tolist()
+        # per-sample metrics, trimmed back from the padded mesh batch
+        results["cd"] += np.asarray(compute_cd(points_ref, points_gen))[:b].tolist()
         acc = compute_depth_accuracy(depth_ref, depth_gen, mask_ref)
         for k in ("accuracy_1", "accuracy_2", "accuracy_3"):
-            results[k] += np.asarray(acc[k]).tolist()
+            results[k] += np.asarray(acc[k])[:b].tolist()
         err = compute_depth_error(depth_ref, depth_gen, mask_ref)
         for k in ("rmse", "rmse_log", "abs_rel", "sq_rel"):
-            results[k] += np.asarray(err[k]).tolist()
+            results[k] += np.asarray(err[k])[:b].tolist()
         results["tol"] += [args.tol] * b
 
         h, w = out["depth"].shape[1:3]
@@ -107,10 +131,10 @@ def main(argv=None):
         else:
             m = (jnp.abs(out["depth"] - 0.0) > args.tol).astype(jnp.float32)
             drop = (1 - m).sum(axis=(1, 2, 3)) / (h * w)
-        results["drop_gen"] += np.asarray(drop).tolist()
+        results["drop_gen"] += np.asarray(drop)[:b].tolist()
         results["drop_ref"] += np.asarray(
             (1 - mask_ref).sum(axis=(1, 2, 3)) / (h * w)
-        ).tolist()
+        )[:b].tolist()
         print(f"batch {bi}: cd={np.mean(results['cd']):.5f}")
 
     os.makedirs(args.save_dir_path, exist_ok=True)

@@ -50,18 +50,32 @@ def main(argv=None):
     from dusty_gan_tpu.metrics.swd import compute_swd
     from dusty_gan_tpu.utils.setup import make_eval_generator, setup
 
+    from dusty_gan_tpu.parallel.mesh import (
+        batch_sharding, create_mesh, replicated, shard_eval_inputs,
+    )
+
     cfg, G, params, lidar, fixed_noise = setup(
         args.model_path, args.config_path, ema=True, fix_noise=True
     )
+    # fan generation/FPS/preprocessing out over every local chip (the
+    # reference runs this on one GPU; the work is batch-parallel)
+    mesh = create_mesh()
+    rep = replicated(mesh)
+    params = jax.device_put(params, rep)
+    if fixed_noise is not None:
+        fixed_noise = jax.device_put(fixed_noise, rep)
     gen = make_eval_generator(G, params, fixed_noise)
     drop_const = float(cfg.model.gen.drop_const)
     batch_size = int(cfg.solver.batch_size)
 
     def fetch(batch):
-        depth = jnp.asarray(batch["depth"])
-        mask = jnp.asarray(batch["mask"])
-        inv = sigmoid_to_tanh(lidar.invert_depth(depth))
-        return mask * inv + (1 - mask) * drop_const
+        sharded, b = shard_eval_inputs(
+            mesh, {"depth": np.asarray(batch["depth"]),
+                   "mask": np.asarray(batch["mask"])}
+        )
+        mask = sharded["mask"]
+        inv = sigmoid_to_tanh(lidar.invert_depth(sharded["depth"]))
+        return mask * inv + (1 - mask) * drop_const, b
 
     @jax.jit
     def to_pts(inv, tol):
@@ -82,9 +96,9 @@ def main(argv=None):
             loader = Loader(ds, batch_size=batch_size, shuffle=False, drop_last=False)
             d2, d3 = [], []
             for batch in loader.epoch(0):
-                inv = fetch(batch)
-                d2.append(np.asarray(inv))
-                d3.append(np.asarray(to_pts(inv, 1e-8)))
+                inv, b = fetch(batch)
+                d2.append(np.asarray(inv)[:b])
+                d3.append(np.asarray(to_pts(inv, 1e-8))[:b])
             reals[subset] = {"2d": np.concatenate(d2), "3d": np.concatenate(d3)}
             os.makedirs(osp.dirname(cache_path) or ".", exist_ok=True)
             np.savez(cache_path, d2=reals[subset]["2d"], d3=reals[subset]["3d"])
@@ -129,8 +143,13 @@ def main(argv=None):
     n_test = len(reals["test"]["2d"])
     key = jax.random.PRNGKey(0)
     f2, f3 = [], []
-    for i in range(0, n_test, batch_size):
-        z = jax.random.normal(jax.random.fold_in(key, i), (batch_size, int(cfg.model.gen.in_ch)))
+    gen_batch = -(-batch_size // mesh.devices.size) * mesh.devices.size
+    for i in range(0, n_test, gen_batch):
+        z = jax.device_put(
+            np.asarray(jax.random.normal(
+                jax.random.fold_in(key, i), (gen_batch, int(cfg.model.gen.in_ch)))),
+            batch_sharding(mesh),
+        )
         inv = gen(z)["depth"]
         f2.append(np.asarray(inv))
         f3.append(np.asarray(to_pts(inv, args.tol)))

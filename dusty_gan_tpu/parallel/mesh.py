@@ -46,6 +46,37 @@ def shard_batch(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+def pad_to_multiple(tree, multiple: int):
+    """Edge-pad every leaf's leading (batch) axis up to a multiple, so an
+    uneven final eval batch can still shard evenly over the mesh; returns
+    (padded_tree, original_batch) — trim outputs back to original_batch.
+
+    Replaces what the reference gets implicitly from nn.DataParallel's
+    uneven scatter (evaluate_reconstruction.py:11,40).
+    """
+    sizes = {x.shape[0] for x in jax.tree.leaves(tree)}
+    assert len(sizes) == 1, f"ragged leading axes: {sizes}"
+    n = sizes.pop()
+    r = (-n) % multiple
+    if r == 0:
+        return tree, n
+    pad = lambda x: np.pad(np.asarray(x), [(0, r)] + [(0, 0)] * (x.ndim - 1),
+                           mode="edge")
+    return jax.tree.map(pad, tree), n
+
+
+def shard_eval_inputs(mesh: Mesh, batch_tree, replicated_tree=None):
+    """Eval-CLI fan-out: pad + shard a batch over the mesh, optionally
+    replicating a params/noise pytree. Returns (sharded_batch, orig_n)
+    or ((sharded_batch, orig_n), replicated) when replicated_tree given."""
+    padded, n = pad_to_multiple(batch_tree, mesh.devices.size)
+    sharded = shard_batch(mesh, padded)
+    if replicated_tree is None:
+        return sharded, n
+    rep = jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), replicated_tree)
+    return (sharded, n), rep
+
+
 def local_batch_slice(global_batch: int, process_index: Optional[int] = None,
                       process_count: Optional[int] = None) -> slice:
     """This host's slice of the global batch (replaces DistributedSampler,

@@ -46,6 +46,75 @@ class TestMesh:
         assert seen == list(range(32))
 
 
+class TestEvalSharding:
+    def test_pad_to_multiple(self):
+        from dusty_gan_tpu.parallel.mesh import pad_to_multiple
+
+        tree = {"a": np.arange(10.0).reshape(5, 2), "b": np.ones((5, 3, 1))}
+        padded, n = pad_to_multiple(tree, 8)
+        assert n == 5
+        assert padded["a"].shape == (8, 2) and padded["b"].shape == (8, 3, 1)
+        np.testing.assert_array_equal(padded["a"][:5], tree["a"])
+        np.testing.assert_array_equal(padded["a"][5:], np.tile(tree["a"][-1], (3, 1)))
+        same, n2 = pad_to_multiple(tree, 5)
+        assert n2 == 5 and same["a"].shape == (5, 2)
+
+    def test_sharded_inversion_matches_single_device(self):
+        """The reconstruction eval's GAN-inversion loop sharded over the
+        8-device data mesh must reproduce the single-device result (it is
+        embarrassingly parallel per sample). Mirrors what nn.DataParallel
+        guarantees in the reference (evaluate_reconstruction.py:11,40)."""
+        import jax.numpy as jnp
+
+        from dusty_gan_tpu.geometry.lidar import tanh_to_sigmoid
+        from dusty_gan_tpu.models import losses
+        from dusty_gan_tpu.models.dcgan_eqlr import Generator
+        from dusty_gan_tpu.models.dusty import DUSty2
+        from dusty_gan_tpu.parallel.mesh import batch_sharding, replicated
+        from dusty_gan_tpu.utils.inversion import make_inversion_loop
+        from dusty_gan_tpu.utils.setup import make_eval_generator, make_fixed_noise
+
+        h, w, b, in_ch = 16, 32, 8, 16
+        G = DUSty2(
+            backbone=Generator(in_ch=in_ch, out_ch={"depth": 1, "confidence": 2},
+                               ch_base=4, ch_max=8, shape=(h, w)),
+            tau=1.0,
+        )
+        key = jax.random.PRNGKey(3)
+        params = G.init({"params": key, "gumbel": key}, jnp.zeros((1, in_ch)))
+        noise = make_fixed_noise(G, (h, w))
+        rng = np.random.RandomState(0)
+        target = rng.uniform(0.1, 1.0, (b, h, w, 1)).astype(np.float32)
+        mask = (rng.uniform(size=(b, h, w, 1)) > 0.2).astype(np.float32)
+        z0 = rng.standard_normal((b, in_ch)).astype(np.float32)
+
+        def run(params_sh, batch_sh):
+            p = jax.device_put(params, params_sh)
+            fn = jax.device_put(noise, params_sh)
+            gen = make_eval_generator(G, p, fn, compute_dtype=jnp.float32)
+
+            @jax.jit
+            def invert(z0, key, target, mask):
+                def loss_fn(latent):
+                    inv = tanh_to_sigmoid(gen(latent)["depth_orig"])
+                    return losses.masked_loss(target, inv, mask, "l1")
+
+                return make_inversion_loop(loss_fn, num_steps=8, lr=0.1)(z0, key)
+
+            z, loss = invert(
+                jax.device_put(z0, batch_sh), jax.random.PRNGKey(7),
+                jax.device_put(target, batch_sh), jax.device_put(mask, batch_sh),
+            )
+            return np.asarray(z), np.asarray(loss)
+
+        dev0 = jax.devices()[0]
+        z_single, loss_single = run(dev0, dev0)
+        mesh = create_mesh(8)
+        z_shard, loss_shard = run(replicated(mesh), batch_sharding(mesh))
+        np.testing.assert_allclose(z_shard, z_single, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(loss_shard, loss_single, rtol=1e-4, atol=1e-6)
+
+
 class TestDryrunHermetic:
     def test_dryrun_multichip_under_hostile_env(self, monkeypatch):
         """The driver invokes dryrun_multichip from a shell exporting
