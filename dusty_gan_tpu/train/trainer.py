@@ -149,7 +149,18 @@ class Trainer:
 
         self.start_iteration = 0
         if cfg.get("resume"):
-            self.state, key = restore_checkpoint(cfg.resume, self.state)
+            if str(cfg.resume).endswith(".pth"):
+                # continue a REFERENCE run: import weights + both Adam
+                # states + pl_ema + step (trainers/dcgan_amp.py:134-144)
+                from dusty_gan_tpu.utils.torch_import import train_state_from_torch
+
+                self.state = train_state_from_torch(
+                    cfg.resume, str(cfg.model.gen.arch), self.state,
+                    self.optimizer_g, self.optimizer_d,
+                )
+                key = None
+            else:
+                self.state, key = restore_checkpoint(cfg.resume, self.state)
             self.state = jax.device_put(self.state, replicated(self.mesh))
             if key is not None:
                 self.root_key = jnp.asarray(key)

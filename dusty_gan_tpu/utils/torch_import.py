@@ -106,3 +106,113 @@ def load_reference_checkpoint(path: str, which: str = "G_ema"):
 
     ckpt = torch.load(path, map_location="cpu")
     return ckpt[which], int(ckpt.get("step", 0))
+
+
+# ---------------------------------------------------------------------------
+# full training-state import: continue training a reference run
+# ---------------------------------------------------------------------------
+
+# model state_dict entries that are torch BUFFERS, not parameters — they
+# appear in the state dict but not in Adam's parameter ordering:
+# DUSty1/2 register `drop_const` (models/dusty.py:70,100) and the
+# discriminator's BlurVH registers two `kernel`s (models/ops/common.py:61).
+_BUFFER_SUFFIXES = ("drop_const", "kernel")
+
+
+def _ordered_param_names(model_sd: Dict) -> list:
+    """named_parameters() order recovered from a saved state dict.
+
+    torch state_dicts preserve registration order (parameters before
+    buffers per module), so the optimizer's param index i corresponds to
+    the i-th non-buffer state-dict entry (torch.optim.Adam is constructed
+    from ``model.parameters()``, trainers/dcgan_amp.py:116-125).
+    """
+    return [k for k in model_sd if not k.endswith(_BUFFER_SUFFIXES)]
+
+
+def adam_state_from_torch(optim_sd: Dict, model_sd: Dict, convert, optimizer,
+                          template_params):
+    """torch.optim.Adam state dict -> optax.adam state.
+
+    torch's per-param {step, exp_avg, exp_avg_sq} maps 1:1 onto optax's
+    ScaleByAdamState {count, mu, nu} (identical update rule incl. bias
+    correction and sqrt-then-eps denominator). The moment tensors live in
+    parameter layout, so `convert` is the SAME name-map converter used for
+    the weights (generator_params_from_torch / discriminator_...): we key
+    the moments by parameter name and convert them like a state dict.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    names = _ordered_param_names(model_sd)
+    idxs = [i for g in optim_sd["param_groups"] for i in g["params"]]
+    assert len(idxs) == len(names), (len(idxs), names)
+    mu_sd, nu_sd, count = {}, {}, 0
+    for idx, name in zip(idxs, names):
+        s = optim_sd["state"][idx]
+        mu_sd[name] = s["exp_avg"]
+        nu_sd[name] = s["exp_avg_sq"]
+        count = int(s["step"])
+    mu = convert(mu_sd)
+    nu = convert(nu_sd)
+
+    cast = lambda tmpl, tree: jax.tree.map(
+        lambda t, v: jnp.asarray(v, t.dtype), tmpl, tree
+    )
+    opt_state = optimizer.init(template_params)
+    out = []
+    replaced = False
+    for el in opt_state:
+        if isinstance(el, optax.ScaleByAdamState):
+            el = el._replace(
+                count=jnp.asarray(count, el.count.dtype),
+                mu=cast(el.mu, mu),
+                nu=cast(el.nu, nu),
+            )
+            replaced = True
+        elif "count" in getattr(el, "_fields", ()):  # e.g. ScaleByScheduleState under lr decay
+            el = el._replace(count=jnp.asarray(count, el.count.dtype))
+        out.append(el)
+    assert replaced, "optimizer has no ScaleByAdamState (not optax.adam?)"
+    return type(opt_state)(out)
+
+
+def train_state_from_torch(path: str, arch: str, template, optimizer_g,
+                           optimizer_d):
+    """Reference .pth checkpoint -> full TrainState, so ``resume=<ref.pth>``
+    continues training a published run: G/D/G_ema weights, both Adam
+    states, pl_ema and the image-step counter (everything the reference
+    itself restores, trainers/dcgan_amp.py:134-144).
+
+    ``template`` is a freshly created TrainState (provides tree structure
+    and dtypes); ``arch`` is the ``gen.arch`` string.
+    """
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu")
+    cast = lambda tmpl, tree: jax.tree.map(
+        lambda t, v: jnp.asarray(v, t.dtype), tmpl, tree
+    )
+    gen_convert = lambda sd: generator_params_from_torch(sd, arch)
+    params_G = cast(template.params_G, gen_convert(ckpt["G"]))
+    params_G_ema = cast(template.params_G_ema, gen_convert(ckpt["G_ema"]))
+    params_D = cast(template.params_D, discriminator_params_from_torch(ckpt["D"]))
+    opt_G = adam_state_from_torch(ckpt["optim_G"], ckpt["G"], gen_convert,
+                                  optimizer_g, params_G)
+    opt_D = adam_state_from_torch(ckpt["optim_D"], ckpt["D"],
+                                  discriminator_params_from_torch,
+                                  optimizer_d, params_D)
+    pl = ckpt.get("pl_ema", None)
+    pl_ema = float(pl) if pl is not None else 0.0
+    return template.replace(
+        step=jnp.asarray(int(ckpt["step"]), template.step.dtype),
+        params_G=params_G,
+        params_D=params_D,
+        params_G_ema=params_G_ema,
+        opt_G=opt_G,
+        opt_D=opt_D,
+        pl_ema=jnp.asarray(pl_ema, jnp.float32),
+    )
