@@ -57,9 +57,11 @@ class RangeImageDataset:
         flip: bool = False,
         modality: Sequence[str] = ("depth",),
         cache_dir: Optional[str] = None,
+        seed: int = 0,
     ):
         self.root = root
         self.split = split
+        self.seed = int(seed)
         self.shape = tuple(shape)
         self.min_depth = float(min_depth)
         self.max_depth = float(max_depth)
@@ -119,13 +121,24 @@ class RangeImageDataset:
             out[k] = out[k][..., None]
         return out
 
-    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
-        do_flip = self.flip and np.random.random() > 0.5
+    def get(self, index: int,
+            rng: Optional[np.random.Generator] = None) -> Dict[str, np.ndarray]:
+        """Fetch one item; ``rng`` drives the h-flip draw (same Bernoulli(.5)
+        as datasets/kitti.py:70-77, but from an explicit stream — no global
+        np.random anywhere in the data path, so batch streams are
+        bit-reproducible across resume). When None, a per-(seed, index)
+        stream is derived (deterministic standalone access)."""
+        if rng is None:
+            rng = np.random.default_rng([self.seed, index])
+        do_flip = self.flip and rng.random() > 0.5
         if self._cache is not None and not do_flip:
             return {k: v[index] for k, v in self._cache.items()}
         # flip happens at FULL resolution before the nearest subsample
         # (datasets/kitti.py:70-77), so flipped items bypass the cache
         return self._process(self._load_raw(index), do_flip)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        return self.get(index)
 
     # ------------------------------------------------------------------
     def _cache_key(self) -> str:

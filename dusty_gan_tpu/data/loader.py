@@ -57,8 +57,18 @@ class Loader:
         per = n // self.process_count
         return perm[self.process_index * per : (self.process_index + 1) * per]
 
-    def _collate(self, idxs) -> Dict[str, np.ndarray]:
-        items = [self.dataset[int(i)] for i in idxs]
+    def _collate(self, idxs, epoch: int) -> Dict[str, np.ndarray]:
+        # per-(seed, epoch, index) RNG stream for item-level augmentation
+        # (the h-flip): fully deterministic, so a resumed run replays the
+        # exact batch stream the original run would have produced
+        get = getattr(self.dataset, "get", None)
+        if get is None:
+            items = [self.dataset[int(i)] for i in idxs]
+        else:
+            items = [
+                get(int(i), np.random.default_rng([self.seed, epoch, int(i)]))
+                for i in idxs
+            ]
         return {k: np.stack([it[k] for it in items]) for k in items[0]}
 
     def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
@@ -66,7 +76,7 @@ class Loader:
         b = self.batch_size // self.process_count
         end = len(idx) - (len(idx) % b) if self.drop_last else len(idx)
         for i in range(0, end, b):
-            yield self._collate(idx[i : i + b])
+            yield self._collate(idx[i : i + b], epoch)
 
     def __iter__(self):
         """Infinite epoch-cycling iterator (utils/__init__.py:110-114) with

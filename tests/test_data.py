@@ -185,3 +185,49 @@ class TestLoader:
         for _ in range(2 * len(loader) + 1):  # crosses epoch boundary
             batch = next(it)
         assert batch["depth"].shape[0] == 4
+
+
+class TestSeededAugmentation:
+    """The h-flip draw must come from an explicit per-(seed, epoch, index)
+    stream, never global np.random — otherwise the checkpoint-resume story
+    is not bit-reproducible (round-1 verdict, weak #4)."""
+
+    def _ds(self, synth_root):
+        return KITTIOdometry(root=str(synth_root), split="train",
+                             shape=(64, 256), flip=True)
+
+    def test_batch_stream_reproducible(self, synth_root):
+        streams = []
+        for _ in range(2):  # two fresh loader+dataset constructions
+            loader = Loader(self._ds(synth_root), batch_size=2, shuffle=True,
+                            seed=5)
+            batches = [b["depth"] for e in (0, 1) for b in loader.epoch(e)]
+            streams.append(np.concatenate(batches))
+        np.testing.assert_array_equal(streams[0], streams[1])
+
+    def test_global_nprandom_does_not_influence_stream(self, synth_root):
+        loader = Loader(self._ds(synth_root), batch_size=2, shuffle=True, seed=5)
+        a = np.concatenate([b["depth"] for b in loader.epoch(0)])
+        np.random.seed(1234)  # perturb the global stream
+        np.random.random(100)
+        b = np.concatenate([b["depth"] for b in loader.epoch(0)])
+        np.testing.assert_array_equal(a, b)
+
+    def test_flips_vary_across_epochs_and_items(self, synth_root):
+        ds = self._ds(synth_root)
+        loader = Loader(ds, batch_size=len(ds), shuffle=False, seed=5,
+                        drop_last=False)
+        e0 = next(loader.epoch(0))["depth"]
+        e1 = next(loader.epoch(1))["depth"]
+        assert np.any(e0 != e1)  # flip draws differ between epochs
+        # and both flip outcomes occur across (epoch, item) draws
+        noflip = np.stack(
+            [KITTIOdometry(root=str(synth_root), split="train",
+                           shape=(64, 256), flip=False)[i]["depth"]
+             for i in range(len(ds))])
+        flipped = np.any(e0 != noflip, axis=(1, 2, 3))
+        assert flipped.any() and not flipped.all()
+
+    def test_standalone_getitem_deterministic(self, synth_root):
+        ds = self._ds(synth_root)
+        np.testing.assert_array_equal(ds[3]["depth"], ds[3]["depth"])
