@@ -138,12 +138,23 @@ class Lidar:
         depth = depth * valid
         return self.pol_to_xyz(depth)
 
-    def points_to_depth(self, xyz, drop_value: float = 1.0, tol: float = 1e-8, tau: float = 2.0):
+    def points_to_depth(
+        self,
+        xyz,
+        drop_value: float = 1.0,
+        tol: float = 1e-8,
+        tau: float = 2.0,
+        chunk: int = 8192,
+    ):
         """Differentiable (B,N,3) unit-space points -> (B,H,W,1) normalized
         depth image + validity mask (utils/lidar.py:70-107).
 
-        Nearest-angle assignment runs as one big (N, H*W) distance argmin —
-        MXU/VPU friendly — followed by soft z-buffered bilinear splatting.
+        Nearest-angle assignment scans the H*W reference grid in ``chunk``-
+        sized slabs with a running (min, argmin) carry — peak memory is
+        O(B*N*chunk) instead of O(B*N*H*W), so the full-resolution 64x2048
+        grid (N~16k points -> 8.6 GB if materialized) stays well under HBM.
+        Ties resolve to the first (lowest-index) angle, matching
+        ``torch.min``'s first-occurrence argmin in the reference.
         """
         h, w = self.shape
         x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
@@ -158,11 +169,32 @@ class Lidar:
         yaw = jnp.arctan2(y, x)
         # nearest reference angle: argmin_{hw} (pitch-p_hw)^2 + (yaw-y_hw)^2
         ref = self.angle.reshape(-1, 2)  # (HW,2)
-        d2 = (
-            (pitch[..., None] - ref[None, None, :, 0]) ** 2
-            + (yaw[..., None] - ref[None, None, :, 1]) ** 2
-        )  # (B,N,HW)
-        ids = jnp.argmin(d2, axis=-1)  # (B,N)
+        hw = ref.shape[0]
+        chunk = min(int(chunk), hw)
+        pad = (-hw) % chunk
+        if pad:
+            # sentinel angles at huge distance: never the argmin
+            ref = jnp.concatenate([ref, jnp.full((pad, 2), 1e9, ref.dtype)], axis=0)
+        ref_chunks = ref.reshape(-1, chunk, 2)
+        offsets = jnp.arange(ref_chunks.shape[0], dtype=jnp.int32) * chunk
+
+        def body(carry, rc_off):
+            rc, off = rc_off  # (chunk,2), scalar
+            best, best_idx = carry
+            d2 = (
+                (pitch[..., None] - rc[None, None, :, 0]) ** 2
+                + (yaw[..., None] - rc[None, None, :, 1]) ** 2
+            )  # (B,N,chunk)
+            cmin = jnp.min(d2, axis=-1)
+            cidx = jnp.argmin(d2, axis=-1).astype(jnp.int32) + off
+            take = cmin < best  # strict: earlier chunk wins ties
+            return (jnp.where(take, cmin, best), jnp.where(take, cidx, best_idx)), None
+
+        init = (
+            jnp.full(pitch.shape, jnp.inf, pitch.dtype),
+            jnp.zeros(pitch.shape, jnp.int32),
+        )
+        (_, ids), _ = jax.lax.scan(body, init, (ref_chunks, offsets))  # (B,N)
         uv = jnp.stack([ids // w, ids % w], axis=-1).astype(jnp.float32)  # (B,N,2) (h,w)
         num = bilinear_rasterizer(uv, weight * depth_m, (h, w))
         den = bilinear_rasterizer(uv, weight, (h, w))
