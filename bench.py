@@ -159,6 +159,18 @@ def main():
             "mfu_pct": round(100.0 * flops / dt / peak, 2) if peak else None,
         }
 
+    # record which chamfer NN path compiles on this device: a silent Pallas->
+    # XLA fallback is a ~10x pairwise-CD eval slowdown the driver should see
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dusty_gan_tpu.metrics import chamfer
+
+    probe = jnp.asarray(np.random.RandomState(2).randn(2, 512, 3).astype(np.float32))
+    d1, _ = chamfer.chamfer_distance(probe, probe + 0.1)
+    assert float(d1.sum()) > 0.0  # value fetch: force execution
+    chamfer_path = chamfer.LAST_DISPATCH
+
     flagship = variants["dusty2/dcgan_eqlr"]
     scans_per_sec = flagship["scans_per_sec"]
     print(json.dumps({
@@ -170,6 +182,7 @@ def main():
         "step_ms": flagship["step_ms"],
         "mfu_pct": flagship["mfu_pct"],
         "device": dev.device_kind,
+        "chamfer_path": chamfer_path,
         "variants": variants,
     }))
 

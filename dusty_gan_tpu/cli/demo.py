@@ -84,6 +84,22 @@ def synthesis(args):
             _save_png(osp.join(args.out, f"{i:02d}_{name}.png"), tensor[i])
     print(f"wrote {n * len(panels)} panels to {args.out}")
 
+    if args.video:
+        # one frame per sample: 2x-upscaled colorized inverse depth stacked
+        # over the BEV render (reference save_videos, utils/__init__.py:182-191)
+        from dusty_gan_tpu.utils.video import save_video
+
+        depth_rgb = colorize(np.asarray(out["depth"]) * COLOR_SCALE)  # (n,H,W,3)
+        frames = []
+        for i in range(n):
+            top = np.repeat(np.repeat(depth_rgb[i], 2, 0), 2, 1)
+            pad = bev.shape[2] - top.shape[1]
+            if pad > 0:
+                top = np.pad(top, ((0, 0), (pad // 2, pad - pad // 2), (0, 0)))
+            frames.append(np.concatenate([top, bev[i]], axis=0))
+        path = save_video(frames, osp.join(args.out, f"{args.latent_type}"), fps=args.video_fps)
+        print("wrote", path)
+
 
 def inversion(args):
     import jax
@@ -142,7 +158,11 @@ def inversion(args):
 
     if args.num_code > 1:
         # multi-code optimization: latent is a pytree {z, alpha}
-        feature_ch = 512 if args.compose_layer == 0 else [256, 128, 64][args.compose_layer - 1]
+        # stage widths: proj emits ch(3), up{k} emits ch(2-k) (dcgan_eqlr.py
+        # Generator.__call__) — derive from the backbone so non-default
+        # ch_base/ch_max configs compose correctly
+        backbone = getattr(G, "backbone", G)
+        feature_ch = backbone.ch(3 - args.compose_layer)
         z0 = {
             "z": project_sphere(jax.random.normal(key, (args.num_code, int(cfg.model.gen.in_ch)))),
             "alpha": jnp.full((args.num_code, 1, 1, feature_ch), 1.0 / args.num_code),
@@ -195,6 +215,10 @@ def main(argv=None):
     ps.add_argument("--latent-type", choices=["random", "lerp", "slerp"], default="random")
     ps.add_argument("--seed", type=int, default=0)
     ps.add_argument("--out", default="demo_out/synthesis")
+    ps.add_argument("--video", action="store_true",
+                    help="also write an interpolation video (mp4 if cv2 is "
+                         "importable, else GIF)")
+    ps.add_argument("--video-fps", type=float, default=10.0)
     ps.set_defaults(fn=synthesis)
 
     pi = sub.add_parser("inversion")

@@ -31,19 +31,37 @@ def _use_pallas() -> bool:
         return False
 
 
+# Which path the most recent chamfer dispatch traced: "pallas" | "xla".
+# Set at trace time; bench.py records it so a silent fallback (a ~10x eval
+# slowdown) shows up in the driver's benchmark artifact.
+LAST_DISPATCH = None
+
+
 def _nn(x, y, chunk: int):
     """Dispatch: Pallas VMEM-tiled kernel on TPU, chunked XLA elsewhere.
     Falls back to the XLA path if the Pallas compile fails at call time
     (remote-compile helpers have shape-dependent flakes)."""
+    global LAST_DISPATCH
     if _use_pallas():
         from dusty_gan_tpu.metrics.chamfer_pallas import nn_pallas
 
         try:
-            return nn_pallas(x, y)
+            out = nn_pallas(x, y)
+            LAST_DISPATCH = "pallas"
+            return out
         except Exception as e:  # trace-time dispatch can't be retried inside jit
             if isinstance(x, jax.core.Tracer):
                 raise
-            print(f"pallas chamfer failed ({type(e).__name__}); XLA fallback")
+            import sys
+
+            print(
+                f"WARNING: pallas chamfer kernel failed to compile "
+                f"({type(e).__name__}: {e}); falling back to the chunked XLA "
+                f"path (expect ~10x slower pairwise-CD evals)",
+                file=sys.stderr,
+                flush=True,
+            )
+    LAST_DISPATCH = "xla"
     return _nn_chunked(x, y, chunk)
 
 

@@ -36,6 +36,24 @@ class RunLogger:
         self.run_dir = run_dir
         os.makedirs(run_dir, exist_ok=True)
         self._jsonl = open(osp.join(run_dir, "scalars.jsonl"), "a")
+        # wandb first: tensorboard patching must precede SummaryWriter
+        # creation to mirror TB events (reference train.py:77-82)
+        self._wandb = None
+        self._wandb_mirrors_tb = False
+        if use_wandb:
+            try:
+                import wandb
+
+                wandb.init(project="dusty-gan-tpu", config=wandb_config or {})
+                if use_tensorboard:
+                    try:
+                        wandb.tensorboard.patch(save=False)
+                        self._wandb_mirrors_tb = True
+                    except Exception:
+                        pass
+                self._wandb = wandb
+            except Exception:
+                self._wandb = None
         self._tb = None
         if use_tensorboard:
             try:
@@ -44,22 +62,19 @@ class RunLogger:
                 self._tb = SummaryWriter(log_dir=run_dir)
             except Exception:
                 self._tb = None
-        self._wandb = None
-        if use_wandb:
-            try:
-                import wandb
-
-                wandb.init(project="dusty-gan-tpu", config=wandb_config or {})
-                self._wandb = wandb
-            except Exception:
-                self._wandb = None
+        # patched TB already forwards to wandb; only log directly when TB
+        # is unavailable or unpatched
+        if self._wandb_mirrors_tb and self._tb is not None:
+            self._wandb_direct = None
+        else:
+            self._wandb_direct = self._wandb
 
     def scalar(self, tag: str, value: float, step: int):
         self._jsonl.write(json.dumps({"t": time.time(), "step": step, tag: float(value)}) + "\n")
         if self._tb is not None:
             self._tb.add_scalar(tag, float(value), step)
-        if self._wandb is not None:
-            self._wandb.log({tag: float(value)}, step=step)
+        if self._wandb_direct is not None:
+            self._wandb_direct.log({tag: float(value)}, step=step)
 
     def scalars(self, mapping: dict, step: int):
         for k, v in mapping.items():
@@ -71,8 +86,8 @@ class RunLogger:
         img = np.clip(np.asarray(img_hwc, np.float32), 0, 1)
         if self._tb is not None:
             self._tb.add_image(tag, np.transpose(img, (2, 0, 1)), step)
-        if self._wandb is not None:
-            self._wandb.log({tag: self._wandb.Image(img)}, step=step)
+        if self._wandb_direct is not None:
+            self._wandb_direct.log({tag: self._wandb_direct.Image(img)}, step=step)
 
     def image_grid(self, tag: str, batch_nhwc: np.ndarray, step: int, nrow: int = 4):
         self.image(tag, make_grid(np.asarray(batch_nhwc), nrow), step)

@@ -126,6 +126,41 @@ class TestTrainCLI:
         assert np.isfinite(scores["jsd"])
         assert glob(str(tmp_path / "*.json"))
 
+    def test_demo_synthesis_cli_with_video(self, trained_run, tmp_path):
+        from dusty_gan_tpu.cli.demo import main as demo_main
+
+        ckpt = sorted(glob(osp.join(trained_run, "models", "checkpoint_*.ckpt")))[-1]
+        out = str(tmp_path / "demo_synth")
+        demo_main([
+            "synthesis",
+            "--model-path", ckpt,
+            "--config-path", osp.join(trained_run, ".hydra/config.yaml"),
+            "--num-samples", "3", "--latent-type", "slerp", "--video",
+        ] + ["--out", out])
+        assert glob(osp.join(out, "*_inverse_depth_with_drops.png"))
+        assert glob(osp.join(out, "*_point_clouds_bev.png"))
+        # interpolation video: mp4 when cv2 is importable, else GIF
+        assert glob(osp.join(out, "slerp.mp4")) or glob(osp.join(out, "slerp.gif"))
+
+    def test_demo_inversion_multicode_cli(self, trained_run, tmp_path):
+        """multi-code mGANprior with non-default ch_base: the composition
+        feature width must be derived from the backbone (regression for the
+        hardcoded [256,128,64] of the default config)."""
+        from dusty_gan_tpu.cli.demo import main as demo_main
+
+        ckpt = sorted(glob(osp.join(trained_run, "models", "checkpoint_*.ckpt")))[-1]
+        out = str(tmp_path / "demo_inv")
+        demo_main([
+            "inversion",
+            "--model-path", ckpt,
+            "--config-path", osp.join(trained_run, ".hydra/config.yaml"),
+            "--index", "0", "--corruption", "dropout",
+            "--distance", "l1,chamfer",
+            "--num-code", "2", "--compose-layer", "1", "--num-step", "2",
+        ] + ["--out", out])
+        assert glob(osp.join(out, "gen_inv.png"))
+        assert glob(osp.join(out, "ref_inv_corrupted.png"))
+
     def test_evaluate_reconstruction_cli(self, trained_run, tmp_path, monkeypatch):
         from dusty_gan_tpu.cli.evaluate_reconstruction import main as eval_main
 
