@@ -23,12 +23,16 @@ from typing import Any, Dict, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+import math
+
 from dusty_gan_tpu.ops.blur import blur_vh
 from dusty_gan_tpu.ops.linear import (
     EqualLRConv,
     EqualLRConvTranspose,
     EqualLRProj,
     FusedLeakyReLU,
+    _convt_k4s2p3_subpixel,
+    _normal_init,
 )
 from dusty_gan_tpu.ops.padding import pad_ring
 
@@ -52,20 +56,53 @@ class Up(nn.Module):
         return FusedLeakyReLU(self.features)(h)
 
 
+class _ConvTParams(nn.Module):
+    """Parameter holder matching EqualLRConvTranspose's tree
+    ({kernel, bias}) so merged-head checkpoints stay name-compatible."""
+
+    features: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        k = self.param("kernel", _normal_init, (4, 4, in_ch, self.features), self.param_dtype)
+        b = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+        return k, b
+
+
 class Head(nn.Module):
-    """Per-output-key ConvT head (dcgan_eqlr.py:29-46)."""
+    """Per-output-key ConvT head (dcgan_eqlr.py:29-46).
+
+    The per-key convolutions (1-2 output channels each) are merged into ONE
+    ConvT over the concatenated kernels and split afterwards: per-channel
+    math is identical, but a single conv with O=sum(out_ch) replaces
+    len(out_ch) MXU-starved O<=2 kernels in both forward and backward
+    (profiling: the separate heads cost ~0.5 ms/step at <3 TF/s).
+    Each key keeps its own equalized-LR scale (fan-in quirk uses that
+    key's own output width)."""
 
     out_ch: Dict[str, int]
     ring: bool = True
 
     @nn.compact
     def __call__(self, x, compute_dtype=None):
-        outs = {}
+        dtype = compute_dtype or x.dtype
+        in_ch = x.shape[-1]
+        h = pad_ring(x, 1, horizontal=_hpad_mode(self.ring), vertical="reflect")
+        ks, bs = [], []
         for name, ch in self.out_ch.items():
-            h = pad_ring(x, 1, horizontal=_hpad_mode(self.ring), vertical="reflect")
-            outs[name] = EqualLRConvTranspose(
-                ch, (4, 4), (2, 2), (3, 3), use_bias=True, name=f"head_{name}"
-            )(h, compute_dtype)
+            k, b = _ConvTParams(ch, name=f"head_{name}")(in_ch)
+            scale = 1.0 / math.sqrt(ch * 16)  # ConvT fan-in quirk: O*kh*kw
+            ks.append((k * scale).astype(dtype))
+            bs.append(b)
+        w = jnp.concatenate(ks, axis=-1)
+        bias = jnp.concatenate(bs)
+        y = _convt_k4s2p3_subpixel(h.astype(dtype), w)
+        y = y + bias.astype(y.dtype)
+        outs, off = {}, 0
+        for name, ch in self.out_ch.items():
+            outs[name] = y[..., off : off + ch]
+            off += ch
         return outs
 
 

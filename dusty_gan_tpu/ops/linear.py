@@ -138,18 +138,16 @@ def _convt_k4s2p3_subpixel(x, w):
     """
     b, ip2, jp2, _ = x.shape
     i, j = ip2 - 2, jp2 - 2
-    rsel = ((3, 1), (2, 0))
     roff = (0, 1)
-    def sel(arr, idxs, axis):
-        # static slices (gather-free, and safe under nested traces)
-        return jnp.concatenate(
-            [jax.lax.slice_in_dim(arr, k, k + 1, axis=axis) for k in idxs], axis=axis
-        )
+    # phase (a,b) taps are stored rows (3,1)/(2,0) == strided slices of the
+    # reversed kernel: w[::-1][a::2] — one strided slice instead of
+    # slice+concat pairs (fewer ops, CSE-able across fwd/bwd calls)
+    wrev = w[::-1, ::-1]
 
     phases = []
     for a in (0, 1):
         for bb in (0, 1):
-            k_ab = sel(sel(w, rsel[a], 0), rsel[bb], 1)  # (2,2,I,O)
+            k_ab = wrev[a::2, bb::2]  # (2,2,I,O)
             xs = x[:, roff[a] : roff[a] + i + 1, roff[bb] : roff[bb] + j + 1]
             y_ab = jax.lax.conv_general_dilated(
                 xs, k_ab, (1, 1), "VALID", dimension_numbers=DIMS
@@ -176,6 +174,10 @@ class EqualLRProj(nn.Module):
     def __call__(self, z, compute_dtype=None):
         h0, w0 = self.shape
         in_ch = z.shape[-1]
+        # NOTE: storing this (I,h0,w0,O) to make the matmul operand a pure
+        # reshape was tried and REGRESSED the step 10% on v5e — XLA's layout
+        # assignment handles the (h0,w0,I,O) transpose better than the
+        # "natural" layout it picks for the alternative. Keep as-is.
         w = self.param("kernel", _normal_init, (h0, w0, in_ch, self.features), self.param_dtype)
         scale = self.gain / math.sqrt(self.features * h0 * w0)  # ConvT fan-in quirk
         dtype = compute_dtype or z.dtype
