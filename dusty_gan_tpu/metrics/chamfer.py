@@ -37,16 +37,18 @@ def _use_pallas() -> bool:
 LAST_DISPATCH = None
 
 
-def _nn(x, y, chunk: int):
+def _nn(x, y, chunk: int, need_idx: bool = True):
     """Dispatch: Pallas VMEM-tiled kernel on TPU, chunked XLA elsewhere.
     Falls back to the XLA path if the Pallas compile fails at call time
-    (remote-compile helpers have shape-dependent flakes)."""
+    (remote-compile helpers have shape-dependent flakes).
+    ``need_idx=False`` runs the argmin-free kernel (eval-only paths; the
+    XLA fallback's unused argmin is removed by DCE)."""
     global LAST_DISPATCH
     if _use_pallas():
         from dusty_gan_tpu.metrics.chamfer_pallas import nn_pallas
 
         try:
-            out = nn_pallas(x, y)
+            out = nn_pallas(x, y, need_idx=need_idx)
             LAST_DISPATCH = "pallas"
             return out
         except Exception as e:  # trace-time dispatch can't be retried inside jit
@@ -138,8 +140,19 @@ def _cd_bwd(chunk, res, grads):
 chamfer_distance.defvjp(_cd_fwd, _cd_bwd)
 
 
+def chamfer_distance_eval(xyz1, xyz2, chunk: int = 512):
+    """Forward-only chamfer: skips the fused argmin (only the backward
+    needs it), ~25% faster per pair on the VPU-bound Pallas kernel.
+    Use ``chamfer_distance`` when gradients are required."""
+    d1, _ = _nn(xyz1, xyz2, chunk, need_idx=False)
+    d2, _ = _nn(xyz2, xyz1, chunk, need_idx=False)
+    return d1, d2
+
+
 def compute_cd(pcs_1, pcs_2, chunk: int = 512):
     """Symmetric CD score per batch element
-    (utils/metrics/cov_mmd_1nna.py:19-21)."""
-    d1, d2 = chamfer_distance(pcs_1, pcs_2, chunk)
+    (utils/metrics/cov_mmd_1nna.py:19-21). Eval-only (non-differentiable);
+    every caller is a metric path — the demo's chamfer inversion loss uses
+    ``chamfer_distance``."""
+    d1, d2 = chamfer_distance_eval(pcs_1, pcs_2, chunk)
     return jnp.mean(d1, axis=1) + jnp.mean(d2, axis=1)

@@ -30,6 +30,20 @@ class TestPallasNN:
         np.testing.assert_array_equal(np.asarray(i), full.argmin(2))
 
 
+    def test_dist_only_kernel_matches(self):
+        """need_idx=False (the eval-matrix fast path) must produce the same
+        distances as the argmin kernel, with idx=None."""
+        rng = np.random.RandomState(3)
+        x = rng.uniform(-1, 1, (2, 300, 3)).astype(np.float32)
+        y = rng.uniform(-1, 1, (2, 200, 3)).astype(np.float32)
+        d_full, i = nn_pallas(jnp.asarray(x), jnp.asarray(y), interpret=True)
+        d_only, none = nn_pallas(jnp.asarray(x), jnp.asarray(y), interpret=True,
+                                 need_idx=False)
+        assert none is None
+        np.testing.assert_allclose(np.asarray(d_only), np.asarray(d_full),
+                                   rtol=0, atol=0)
+
+
 class TestSymmetricPairwise:
     def test_self_matrix_matches_full_computation(self):
         rng = np.random.RandomState(2)
