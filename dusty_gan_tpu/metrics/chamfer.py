@@ -143,7 +143,14 @@ chamfer_distance.defvjp(_cd_fwd, _cd_bwd)
 def chamfer_distance_eval(xyz1, xyz2, chunk: int = 512):
     """Forward-only chamfer: skips the fused argmin (only the backward
     needs it), ~25% faster per pair on the VPU-bound Pallas kernel.
-    Use ``chamfer_distance`` when gradients are required."""
+    Use ``chamfer_distance`` when gradients are required.
+
+    NOTE a bidirectional kernel (row-min + col-min from one distance
+    evaluation, theoretically ~1.8x fewer distance computations) was
+    tried and REMOVED: the cross-sublane column-min reduce plus its ref
+    read-modify-write cost more than the saved work (31.2k vs 32.9k
+    pairs/s on v5e), and the extra running vector pushed the (1024,2048)
+    tile over the 16 MB scoped-VMEM limit at grid 16."""
     d1, _ = _nn(xyz1, xyz2, chunk, need_idx=False)
     d2, _ = _nn(xyz2, xyz1, chunk, need_idx=False)
     return d1, d2
