@@ -131,6 +131,11 @@ def main(argv=None):
             jax.block_until_ready(scalars)
             jax.profiler.stop_trace()
             print("profile trace written to", profile_dir)
+            from dusty_gan_tpu.utils.profiling import format_summary, summarize_trace
+
+            summary = summarize_trace(profile_dir, steps=4)
+            if summary is not None:
+                print(format_summary(summary))
 
         if is_main:
             if i % int(ckpt.save_stats) == 0 or i == 1:

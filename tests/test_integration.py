@@ -175,3 +175,38 @@ class TestTrainCLI:
         assert len(results["cd"]) == 4
         assert np.isfinite(results["cd"]).all()
         assert glob(str(tmp_path / "*.csv"))
+
+
+class TestProfiling:
+    def test_trace_summary_on_cpu_trace(self, tmp_path):
+        """summarize_trace parses a real jax.profiler capture (CPU backend)
+        and reports categories/top ops."""
+        import jax
+        import jax.numpy as jnp
+
+        from dusty_gan_tpu.utils.profiling import format_summary, summarize_trace
+
+        @jax.jit
+        def f(x):
+            return jnp.tanh(x @ x.T).sum()
+
+        x = jnp.ones((128, 128))
+        float(f(x))  # compile outside the trace
+        jax.profiler.start_trace(str(tmp_path))
+        for _ in range(4):
+            y = f(x)
+        jax.block_until_ready(y)
+        jax.profiler.stop_trace()
+
+        s = summarize_trace(str(tmp_path), steps=4)
+        assert s is not None
+        assert s["total_ms_per_step"] > 0
+        assert s["num_op_events"] > 0
+        assert s["by_category"] and s["top_ops"]
+        text = format_summary(s)
+        assert "by HLO category" in text and "top ops" in text
+
+    def test_missing_trace_returns_none(self, tmp_path):
+        from dusty_gan_tpu.utils.profiling import summarize_trace
+
+        assert summarize_trace(str(tmp_path)) is None
