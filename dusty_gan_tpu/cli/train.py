@@ -46,11 +46,24 @@ def main(argv=None):
             overrides.append(ov)
 
     # multi-host pods: one process per host; XLA collectives over ICI/DCN
-    # replace the reference's mp.spawn/NCCL (train.py:37-50)
+    # replace the reference's mp.spawn/NCCL (train.py:37-50). On TPU pods
+    # initialize() auto-detects the cluster; elsewhere (incl. the CPU
+    # multi-process test rig) pass the rendezvous explicitly via
+    # JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID.
     if extras.get("multihost") in ("1", "true", "True"):
         import jax
 
-        jax.distributed.initialize()
+        if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+            # CPU backend needs an explicit cross-process collectives impl
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        kw = {}
+        if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            kw = dict(
+                coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]),
+            )
+        jax.distributed.initialize(**kw)
 
     config_dir = extras.get("config_dir", osp.join(osp.dirname(__file__), "../../configs"))
     cfg = compose(osp.abspath(config_dir), overrides)

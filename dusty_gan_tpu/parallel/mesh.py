@@ -41,8 +41,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree):
-    """Place a host batch pytree on the mesh, sharded on the leading axis."""
+    """Place a host batch pytree on the mesh, sharded on the leading axis.
+
+    Single-process: ``device_put`` of the full batch onto the sharding.
+    Multi-process (pods): each host holds only its ``local_batch_slice``
+    of the global batch (the Loader yields per-host batches), so the
+    global array is assembled from process-local shards — the JAX analog
+    of DistributedSampler + DDP input scatter (trainers/dcgan_amp.py:87).
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)), tree
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
