@@ -171,6 +171,23 @@ def main():
     assert float(d1.sum()) > 0.0  # value fetch: force execution
     chamfer_path = chamfer.LAST_DISPATCH
 
+    # eval-path headline: pairwise symmetric CD throughput at the synthesis
+    # protocol's cloud size (2048 FPS points, evaluate_synthesis.py:31)
+    rng = np.random.RandomState(3)
+    ca = jnp.asarray(rng.randn(256, 2048, 3).astype(np.float32) * 0.3)
+    cb = jnp.asarray(rng.randn(256, 2048, 3).astype(np.float32) * 0.3)
+    fcd = jax.jit(chamfer.compute_cd)
+    d = fcd(ca, cb)
+    assert np.isfinite(float(d.sum()))
+    cd_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(5):
+            d = fcd(ca, cb)
+        assert np.isfinite(float(d.sum()))
+        cd_dt = min(cd_dt, (time.perf_counter() - t0) / 5)
+    cd_pairs_per_sec = round(256 / cd_dt, 1)
+
     flagship = variants["dusty2/dcgan_eqlr"]
     scans_per_sec = flagship["scans_per_sec"]
     print(json.dumps({
@@ -183,6 +200,7 @@ def main():
         "mfu_pct": flagship["mfu_pct"],
         "device": dev.device_kind,
         "chamfer_path": chamfer_path,
+        "cd_pairs_per_sec": cd_pairs_per_sec,
         "variants": variants,
     }))
 

@@ -3,10 +3,11 @@ HyperOpt trials over tol in [1e-3, 1e-1] (log-uniform) minimizing
 
     1 * 1NNA-CD + 100 * MMD-CD - 1 * COV-CD + 10 * JSD        (:52-57)
 
-on the val split.  Ray/HyperOpt aren't TPU-idiomatic (and aren't in this
-image); the search here is quasi-random log-uniform sampling + a local
-refinement pass around the incumbent — same objective, same budget, one
-process.  Usage:
+on the val split.  Ray/HyperOpt aren't in this image; the default search
+is a dependency-free TPE (``utils/tpe.py``) with the same log-uniform
+space, objective and budget as the reference's HyperOpt configuration
+(tune_tolerance.py:161-184); ``--algo random`` falls back to log-uniform
+sampling + local refinement.  Usage:
 
     python -m dusty_gan_tpu.cli.tune_tolerance \
         --model-path <ckpt|.pth> --config-path <cfg> [--num-samples 100]
@@ -36,6 +37,7 @@ def main(argv=None):
     parser.add_argument("--tol-max", type=float, default=1e-1)
     parser.add_argument("--cd-batch", type=int, default=512)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--algo", choices=["tpe", "random"], default="tpe")
     args = parser.parse_args(argv)
 
     import jax
@@ -99,32 +101,37 @@ def main(argv=None):
         )
         return {"score": float(score), **{k: float(v) for k, v in scores.items()}}
 
-    rng = np.random.RandomState(args.seed)
-    lo, hi = np.log(args.tol_min), np.log(args.tol_max)
-    n_explore = max(1, args.num_samples * 3 // 4)
-    tols = np.exp(rng.uniform(lo, hi, n_explore)).tolist()
-
     trials = []
     best = None
-    for t_idx, tol in enumerate(tols):
+
+    def record(tol: float) -> float:
+        nonlocal best
         r = {"tol": float(tol), **objective(float(tol))}
         trials.append(r)
         if best is None or r["score"] < best["score"]:
             best = r
-        print(f"trial {t_idx + 1}/{args.num_samples}: tol={tol:.5f} "
+        print(f"trial {len(trials)}/{args.num_samples}: tol={tol:.5f} "
               f"score={r['score']:.4f} (best {best['tol']:.5f} @ {best['score']:.4f})")
+        return r["score"]
 
-    # refinement around the incumbent (replaces HyperOpt's TPE exploitation)
-    n_refine = args.num_samples - n_explore
-    for t_idx in range(n_refine):
-        tol = float(np.exp(rng.normal(np.log(best["tol"]), 0.15)))
-        tol = float(np.clip(tol, args.tol_min, args.tol_max))
-        r = {"tol": tol, **objective(tol)}
-        trials.append(r)
-        if r["score"] < best["score"]:
-            best = r
-        print(f"refine {t_idx + 1}/{n_refine}: tol={tol:.5f} score={r['score']:.4f} "
-              f"(best {best['tol']:.5f})")
+    if args.algo == "tpe":
+        from dusty_gan_tpu.utils.tpe import tpe_minimize
+
+        tpe_minimize(
+            record, args.tol_min, args.tol_max,
+            num_samples=args.num_samples, seed=args.seed,
+            n_startup=max(5, args.num_samples // 5), log_space=True,
+        )
+    else:
+        rng = np.random.RandomState(args.seed)
+        lo, hi = np.log(args.tol_min), np.log(args.tol_max)
+        n_explore = max(1, args.num_samples * 3 // 4)
+        for tol in np.exp(rng.uniform(lo, hi, n_explore)):
+            record(float(tol))
+        # refinement around the incumbent
+        for _ in range(args.num_samples - n_explore):
+            tol = float(np.exp(rng.normal(np.log(best["tol"]), 0.15)))
+            record(float(np.clip(tol, args.tol_min, args.tol_max)))
 
     print("best:", best)
     os.makedirs(args.save_dir_path, exist_ok=True)

@@ -161,6 +161,26 @@ class TestTrainCLI:
         assert glob(osp.join(out, "gen_inv.png"))
         assert glob(osp.join(out, "ref_inv_corrupted.png"))
 
+    def test_tune_tolerance_cli(self, trained_run, tmp_path, monkeypatch):
+        from dusty_gan_tpu.cli.tune_tolerance import main as tune_main
+
+        monkeypatch.chdir(tmp_path)
+        ckpt = sorted(glob(osp.join(trained_run, "models", "checkpoint_*.ckpt")))[-1]
+        best = tune_main([
+            "--model-path", ckpt,
+            "--config-path", osp.join(trained_run, ".hydra/config.yaml"),
+            "--save-dir-path", str(tmp_path),
+            "--num-samples", "6", "--num-points", "64", "--num-test", "8",
+            "--cd-batch", "8", "--algo", "tpe",
+        ])
+        assert 1e-3 <= best["tol"] <= 1e-1
+        assert np.isfinite(best["score"])
+        out = glob(str(tmp_path / "tune_*.json"))
+        assert out
+        with open(out[0]) as f:
+            dump = json.load(f)
+        assert len(dump["trials"]) == 6
+
     def test_evaluate_reconstruction_cli(self, trained_run, tmp_path, monkeypatch):
         from dusty_gan_tpu.cli.evaluate_reconstruction import main as eval_main
 
