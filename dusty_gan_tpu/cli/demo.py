@@ -173,13 +173,20 @@ def inversion(args):
             {"z": optax.adam(0.1), "alpha": optax.adam(0.001)},
             {"z": "z", "alpha": "alpha"},
         )
-        opt_state = opt.init(z0)
-        lat = z0
-        for i in range(args.num_step):
-            grads = jax.grad(lambda l: jnp.sum(loss_fn(l)))(lat)
+        grad_fn = jax.grad(lambda l: jnp.sum(loss_fn(l)))
+
+        @jax.jit
+        def opt_step(lat, opt_state):
+            grads = grad_fn(lat)
             updates, opt_state = opt.update(grads, opt_state, lat)
             lat = optax.apply_updates(lat, updates)
             lat["z"] = project_sphere(lat["z"])
+            return lat, opt_state
+
+        opt_state = opt.init(z0)
+        lat = z0
+        for i in range(args.num_step):
+            lat, opt_state = opt_step(lat, opt_state)
         out = apply_composed(lat["z"], lat["alpha"])
     else:
         run = jax.jit(make_inversion_loop(loss_fn, num_steps=args.num_step, lr=0.1))
