@@ -161,6 +161,24 @@ class TestTrainCLI:
         assert glob(osp.join(out, "gen_inv.png"))
         assert glob(osp.join(out, "ref_inv_corrupted.png"))
 
+    def test_evaluate_synthesis_compute_gt(self, trained_run, tmp_path, monkeypatch):
+        """--compute-gt scores the real train-vs-test floor
+        (evaluate_synthesis.py:115-144) and writes the gt JSON."""
+        from dusty_gan_tpu.cli.evaluate_synthesis import main as eval_main
+
+        monkeypatch.chdir(tmp_path)
+        ckpt = sorted(glob(osp.join(trained_run, "models", "checkpoint_*.ckpt")))[-1]
+        scores = eval_main([
+            "--model-path", ckpt,
+            "--config-path", osp.join(trained_run, ".hydra/config.yaml"),
+            "--save-dir-path", str(tmp_path),
+            "--num-test", "8", "--num-points", "64", "--cd-batch", "8",
+            "--compute-gt",
+        ])
+        assert "swd-mean" in scores and "jsd" in scores and "cov-cd" in scores
+        assert np.isfinite(scores["jsd"])
+        assert glob(str(tmp_path / "outputs/logs/*/gt/evaluation/tol=0/*.json"))
+
     def test_tune_tolerance_cli(self, trained_run, tmp_path, monkeypatch):
         from dusty_gan_tpu.cli.tune_tolerance import main as tune_main
 
