@@ -172,10 +172,12 @@ def main():
     chamfer_path = chamfer.LAST_DISPATCH
 
     # eval-path headline: pairwise symmetric CD throughput at the synthesis
-    # protocol's cloud size (2048 FPS points, evaluate_synthesis.py:31)
+    # protocol's cloud size AND batch (2048 FPS points, 512-pair blocks —
+    # evaluate_synthesis.py:31-32; smaller batches under-amortize the
+    # per-dispatch tunnel overhead and underreport the kernel)
     rng = np.random.RandomState(3)
-    ca = jnp.asarray(rng.randn(256, 2048, 3).astype(np.float32) * 0.3)
-    cb = jnp.asarray(rng.randn(256, 2048, 3).astype(np.float32) * 0.3)
+    ca = jnp.asarray(rng.randn(512, 2048, 3).astype(np.float32) * 0.3)
+    cb = jnp.asarray(rng.randn(512, 2048, 3).astype(np.float32) * 0.3)
     fcd = jax.jit(chamfer.compute_cd)
     d = fcd(ca, cb)
     assert np.isfinite(float(d.sum()))
@@ -186,7 +188,7 @@ def main():
             d = fcd(ca, cb)
         assert np.isfinite(float(d.sum()))
         cd_dt = min(cd_dt, (time.perf_counter() - t0) / 5)
-    cd_pairs_per_sec = round(256 / cd_dt, 1)
+    cd_pairs_per_sec = round(512 / cd_dt, 1)
 
     flagship = variants["dusty2/dcgan_eqlr"]
     scans_per_sec = flagship["scans_per_sec"]
