@@ -3,13 +3,20 @@
 The TPU-native successor of the reference CUDA kernel
 (``chamfer_distance.cu:9-122``): where the CUDA version tiles xyz2 into
 shared memory, this kernel keeps both clouds and the running minima in
-VMEM and streams (TN, M) distance tiles entirely on-chip — the XLA
+VMEM and streams (TN, TM) distance tiles entirely on-chip — the XLA
 fallback in metrics/chamfer.py materializes its (B, N, chunk) tiles
 through HBM, which dominates the 5000x5000 pairwise-CD evaluation.
 
 Distances are evaluated as explicit squared differences on the VPU: with
 K=3 the MXU runs at ~2% utilization, so elementwise broadcasting is the
 right unit, and it avoids the x^2+y^2-2xy cancellation.
+
+Layout: clouds enter TRANSPOSED as (1, 3, N) so each coordinate row is
+lane-contiguous. With the natural (N, 3) layout, every per-coordinate
+slice ``y[sl, c]`` is a 3-of-128-lane gather that Mosaic materializes as
+per-tile relayout buffers — at 16k-point clouds (reconstruction eval /
+full-res demo) those buffers alone blew the 16 MB scoped-VMEM limit and
+silently forced the slow XLA fallback.
 
 Grid: one program per batch element; point counts padded to lane multiples
 in the wrapper with +inf-distance sentinels.
@@ -24,32 +31,51 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TN = 1024  # distance-tile rows resident in VMEM
-_TM = 2048  # distance-tile cols; (TN, TM) f32 = 8 MB in VMEM
+_TM = 2048  # distance-tile cols cap
+
+
+def _tn_for(m_pad: int) -> int:
+    """Distance-tile rows. Mosaic vectorizes the m-tile loop into one
+    (TN, m) stack buffer (measured: scoped-VMEM use == TN*m*4 bytes
+    regardless of the inner tile split), and the scoped limit is 16 MB —
+    budget 8 MB for the distance block and derive TN from m.  m=2048
+    (the eval matrices) gets the fast TN=1024; 16k-point full-scan
+    clouds get TN=128."""
+    if m_pad <= _TM:
+        return 1024  # single m-tile: scoped ~= TN*m*4 = 8 MB, fits
+    # multi-tile: Mosaic multi-buffers the vectorized (TN, m) block (3-4x
+    # TN*m*4 observed at grid 16), so keep the block at 2 MB; TN below 128
+    # breaks lane-width vector loads, which is why the wrapper chunks M at
+    # _M_CHUNK before reaching here
+    return 128
+
+
+# largest M one kernel call may see: the (128, 4096) f32 block is 2 MB,
+# x4 multi-buffering = 8 MB scoped, comfortably under the 16 MB limit
+_M_CHUNK = 4096
 
 
 def _nn_kernel(x_ref, y_ref, dist_ref, idx_ref):
-    """x: (1, N, 3), y: (1, M, 3) -> dist (1, N, 1), idx (1, N, 1).
-    Tiled over both point axes with a running (min, argmin) so arbitrary
-    cloud sizes fit in VMEM (e.g. the demo's 16k-point full range images)."""
-    n = x_ref.shape[1]
-    m = y_ref.shape[1]
+    """x: (1, 3, N), y: (1, 3, M) -> dist (1, 1, N), idx (1, 1, N).
+    Tiled over both point axes with a running (min, argmin)."""
+    n = x_ref.shape[2]
+    m = y_ref.shape[2]
     tm = min(_TM, m)
-    col = jax.lax.broadcasted_iota(jnp.int32, (_TN, tm), 1)
+    TN = _tn_for(m)
+    col = jax.lax.broadcasted_iota(jnp.int32, (TN, tm), 1)
 
     def n_tile(tn, _):
-        row = pl.ds(tn * _TN, _TN)
-        xt = x_ref[0, row, :]  # (TN, 3)
-        x0 = xt[:, 0][:, None]
-        x1 = xt[:, 1][:, None]
-        x2 = xt[:, 2][:, None]
+        row = pl.ds(tn * TN, TN)
+        x0 = x_ref[0, 0, row][:, None]  # (TN, 1)
+        x1 = x_ref[0, 1, row][:, None]
+        x2 = x_ref[0, 2, row][:, None]
 
         def m_tile(tj, carry):
             best, bidx = carry
             sl = pl.ds(tj * tm, tm)
-            d = (x0 - y_ref[0, sl, 0][None, :]) ** 2
-            d += (x1 - y_ref[0, sl, 1][None, :]) ** 2
-            d += (x2 - y_ref[0, sl, 2][None, :]) ** 2  # (TN, tm)
+            d = (x0 - y_ref[0, 0, sl][None, :]) ** 2
+            d += (x1 - y_ref[0, 1, sl][None, :]) ** 2
+            d += (x2 - y_ref[0, 2, sl][None, :]) ** 2  # (TN, tm)
             tile_min = jnp.min(d, axis=1)
             # argmin within tile via masked iota (first occurrence)
             hit = jnp.where(d == tile_min[:, None], col, tm)
@@ -57,44 +83,44 @@ def _nn_kernel(x_ref, y_ref, dist_ref, idx_ref):
             take = tile_min < best
             return jnp.where(take, tile_min, best), jnp.where(take, tile_idx, bidx)
 
-        best = jnp.full((_TN,), jnp.inf, jnp.float32)
-        bidx = jnp.zeros((_TN,), jnp.int32)
+        best = jnp.full((TN,), jnp.inf, jnp.float32)
+        bidx = jnp.zeros((TN,), jnp.int32)
         best, bidx = jax.lax.fori_loop(0, m // tm, m_tile, (best, bidx))
-        dist_ref[0, row, 0] = best
-        idx_ref[0, row, 0] = bidx
+        dist_ref[0, 0, row] = best
+        idx_ref[0, 0, row] = bidx
         return 0
 
-    jax.lax.fori_loop(0, n // _TN, n_tile, 0)
+    jax.lax.fori_loop(0, n // TN, n_tile, 0)
 
 
 def _nn_kernel_dist_only(x_ref, y_ref, dist_ref):
     """Min-distance without argmin: the pairwise-CD evaluation matrices
     (cov_mmd_1nna) take no gradients, and the masked-iota argmin pass is
     ~1/3 of the VPU work per tile."""
-    n = x_ref.shape[1]
-    m = y_ref.shape[1]
+    n = x_ref.shape[2]
+    m = y_ref.shape[2]
     tm = min(_TM, m)
+    TN = _tn_for(m)
 
     def n_tile(tn, _):
-        row = pl.ds(tn * _TN, _TN)
-        xt = x_ref[0, row, :]  # (TN, 3)
-        x0 = xt[:, 0][:, None]
-        x1 = xt[:, 1][:, None]
-        x2 = xt[:, 2][:, None]
+        row = pl.ds(tn * TN, TN)
+        x0 = x_ref[0, 0, row][:, None]
+        x1 = x_ref[0, 1, row][:, None]
+        x2 = x_ref[0, 2, row][:, None]
 
         def m_tile(tj, best):
             sl = pl.ds(tj * tm, tm)
-            d = (x0 - y_ref[0, sl, 0][None, :]) ** 2
-            d += (x1 - y_ref[0, sl, 1][None, :]) ** 2
-            d += (x2 - y_ref[0, sl, 2][None, :]) ** 2  # (TN, tm)
+            d = (x0 - y_ref[0, 0, sl][None, :]) ** 2
+            d += (x1 - y_ref[0, 1, sl][None, :]) ** 2
+            d += (x2 - y_ref[0, 2, sl][None, :]) ** 2  # (TN, tm)
             return jnp.minimum(jnp.min(d, axis=1), best)
 
-        best = jnp.full((_TN,), jnp.inf, jnp.float32)
+        best = jnp.full((TN,), jnp.inf, jnp.float32)
         best = jax.lax.fori_loop(0, m // tm, m_tile, best)
-        dist_ref[0, row, 0] = best
+        dist_ref[0, 0, row] = best
         return 0
 
-    jax.lax.fori_loop(0, n // _TN, n_tile, 0)
+    jax.lax.fori_loop(0, n // TN, n_tile, 0)
 
 
 def _round_up(v: int, m: int) -> int:
@@ -124,11 +150,26 @@ def nn_pallas(x, y, interpret: bool = False, max_batch: int = 16,
 
 @functools.partial(jax.jit, static_argnames=("interpret", "need_idx"))
 def _nn_pallas_jit(x, y, interpret: bool = False, need_idx: bool = True):
-    b, n, _ = x.shape
     m = y.shape[1]
-    n_pad = _round_up(n, _TN)
+    if m > _M_CHUNK:
+        # split the reference cloud across kernel calls; combine with a
+        # running (min, argmin) in XLA. Keeps each call's scoped-VMEM
+        # block bounded (see _tn_for).
+        best_d = best_i = None
+        for off in range(0, m, _M_CHUNK):
+            d, i = _nn_pallas_jit(x, y[:, off : off + _M_CHUNK], interpret, need_idx)
+            if best_d is None:
+                best_d, best_i = d, (i + off if i is not None else None)
+            else:
+                take = d < best_d
+                if need_idx:
+                    best_i = jnp.where(take, i + off, best_i)
+                best_d = jnp.where(take, d, best_d)
+        return best_d, best_i
+    b, n, _ = x.shape
     # M must tile evenly: lane multiple when it fits in one tile, else _TM
     m_pad = _round_up(m, 128) if m <= _TM else _round_up(m, _TM)
+    n_pad = _round_up(n, _tn_for(m_pad))
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
     if n_pad != n:
@@ -136,23 +177,29 @@ def _nn_pallas_jit(x, y, interpret: bool = False, need_idx: bool = True):
     if m_pad != m:
         # sentinel points infinitely far away — never the argmin
         y = jnp.concatenate([y, jnp.full((b, m_pad - m, 3), 1e18, jnp.float32)], axis=1)
+    # coordinate-major so each coordinate is one lane-contiguous row
+    xt = jnp.transpose(x, (0, 2, 1))  # (B, 3, N)
+    yt = jnp.transpose(y, (0, 2, 1))  # (B, 3, M)
 
     in_specs = [
-        pl.BlockSpec((1, n_pad, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, m_pad, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3, n_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3, m_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     ]
-    dist_spec = pl.BlockSpec((1, n_pad, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    dist_shape = jax.ShapeDtypeStruct((b, n_pad, 1), jnp.float32)
+    # outputs are lane-major (1, 1, n): an (n, 1) block would pad its
+    # single-lane minor dim to 128 lanes — an 8 MB VMEM buffer at 16k
+    # points that blew the scoped limit once double-buffered
+    dist_spec = pl.BlockSpec((1, 1, n_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    dist_shape = jax.ShapeDtypeStruct((b, 1, n_pad), jnp.float32)
     if need_idx:
         dist, idx = pl.pallas_call(
             _nn_kernel,
             grid=(b,),
             in_specs=in_specs,
             out_specs=[dist_spec, dist_spec],
-            out_shape=[dist_shape, jax.ShapeDtypeStruct((b, n_pad, 1), jnp.int32)],
+            out_shape=[dist_shape, jax.ShapeDtypeStruct((b, 1, n_pad), jnp.int32)],
             interpret=interpret,
-        )(x, y)
-        return jnp.maximum(dist[:, :n, 0], 0.0), idx[:, :n, 0]
+        )(xt, yt)
+        return jnp.maximum(dist[:, 0, :n], 0.0), idx[:, 0, :n]
     dist = pl.pallas_call(
         _nn_kernel_dist_only,
         grid=(b,),
@@ -160,5 +207,5 @@ def _nn_pallas_jit(x, y, interpret: bool = False, need_idx: bool = True):
         out_specs=[dist_spec],
         out_shape=[dist_shape],
         interpret=interpret,
-    )(x, y)[0]
-    return jnp.maximum(dist[:, :n, 0], 0.0), None
+    )(xt, yt)[0]
+    return jnp.maximum(dist[:, 0, :n], 0.0), None

@@ -30,6 +30,22 @@ class TestPallasNN:
         np.testing.assert_array_equal(np.asarray(i), full.argmin(2))
 
 
+    def test_large_m_chunked_across_kernel_calls(self):
+        """reference clouds above _M_CHUNK split across kernel calls with a
+        running (min, argmin) — the 16k-point full-scan case that used to
+        blow scoped VMEM and silently fall back to XLA."""
+        rng = np.random.RandomState(5)
+        x = rng.uniform(-1, 1, (1, 64, 3)).astype(np.float32)
+        y = rng.uniform(-1, 1, (1, 9000, 3)).astype(np.float32)
+        full = ((x[:, :, None].astype(np.float64) - y[:, None].astype(np.float64)) ** 2).sum(-1)
+        d, i = nn_pallas(jnp.asarray(x), jnp.asarray(y), interpret=True)
+        np.testing.assert_allclose(np.asarray(d), full.min(2), rtol=1e-5, atol=1e-7)
+        np.testing.assert_array_equal(np.asarray(i), full.argmin(2))
+        d2, none = nn_pallas(jnp.asarray(x), jnp.asarray(y), interpret=True,
+                             need_idx=False)
+        assert none is None
+        np.testing.assert_allclose(np.asarray(d2), full.min(2), rtol=1e-5, atol=1e-7)
+
     def test_dist_only_kernel_matches(self):
         """need_idx=False (the eval-matrix fast path) must produce the same
         distances as the argmin kernel, with idx=None."""
