@@ -71,27 +71,41 @@ class Loader:
             ]
         return {k: np.stack([it[k] for it in items]) for k in items[0]}
 
-    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+    def epoch(self, epoch: int, start_batch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """One epoch of batches, optionally skipping the first
+        ``start_batch`` batches WITHOUT loading them (index-slice skip, so
+        fast-forward on resume costs nothing)."""
         idx = self._epoch_indices(epoch)
         b = self.batch_size // self.process_count
         end = len(idx) - (len(idx) % b) if self.drop_last else len(idx)
-        for i in range(0, end, b):
+        for i in range(start_batch * b, end, b):
             yield self._collate(idx[i : i + b], epoch)
 
-    def __iter__(self):
-        """Infinite epoch-cycling iterator (utils/__init__.py:110-114) with
-        background prefetch."""
+    def iter_from(self, start_iteration: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Infinite epoch-cycling iterator positioned as if
+        ``start_iteration`` global batches had already been consumed — the
+        resume path: a run restored at iteration N sees exactly the batch
+        stream the uninterrupted run would have seen from N onward.  (The
+        reference does NOT restore loader position on resume,
+        trainers/dcgan_amp.py:134-144 — SURVEY.md §5.4 flags this; we fix
+        it.)  Batch streams are deterministic per (seed, epoch, index), so
+        position alone fully determines the stream."""
+        ipe = len(self)
+        epoch0, offset = divmod(int(start_iteration), max(ipe, 1))
+
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def producer():
-            epoch = 0
+            epoch = epoch0
+            start = offset
             while not stop.is_set():
-                for batch in self.epoch(epoch):
+                for batch in self.epoch(epoch, start_batch=start):
                     if stop.is_set():
                         return
                     q.put(batch)
                 epoch += 1
+                start = 0
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -100,3 +114,6 @@ class Loader:
                 yield q.get()
         finally:
             stop.set()
+
+    def __iter__(self):
+        return self.iter_from(0)

@@ -3,7 +3,10 @@
 Mirrors the reference checkpoint contents (``trainers/dcgan_amp.py:395-409``,
 ``checkpoint_{imgs:010d}.pth``) with two upgrades flagged in SURVEY.md §5.4:
 atomic writes (tmp + rename) and inclusion of the RNG key so resume is
-bit-reproducible (the reference loses RNG/scaler/loader position).
+bit-reproducible (the reference loses RNG/scaler/loader position).  The
+loader position itself needs no extra state: it is derived from
+``state.step`` (``Loader.iter_from``), so a resumed run continues the
+exact batch stream of the uninterrupted run.
 """
 
 from __future__ import annotations
