@@ -122,7 +122,8 @@ def main(argv=None):
         scores.update(compute_swd(gen_2d, ref_2d))
         scores["jsd"] = compute_jsd(gen_3d / 2.0, ref_3d / 2.0)
         scores.update(
-            compute_cov_mmd_1nna(gen_3d, ref_3d, args.cd_batch, metrics, verbose=True)
+            compute_cov_mmd_1nna(gen_3d, ref_3d, args.cd_batch, metrics,
+                                 verbose=True, mesh=mesh)
         )
         return scores
 

@@ -127,6 +127,158 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
+def _cd_block_kernel(x_ref, y_ref, out_ref, *, n_true: int, m_true: int):
+    """One (row, col) pair of the pairwise-CD matrix per program.
+
+    x: (1, 3, Np), y: (1, 3, Mp) -> out (1, 1) = mean_n min_m d + mean_m
+    min_n d.  Fusing the bidirectional mean into the kernel means one
+    scalar leaves VMEM per PAIR (the per-pair path writes (B, N) + (B, M)
+    minima through HBM), and one dispatch covers a whole (R, C) block of
+    the evaluation matrix (cov_mmd_1nna.py:24-51 dispatches per row-chunk
+    — ~50k host round-trips for the 5000^2 protocol)."""
+
+    def dir_sum(a_ref, b_ref, a_true):
+        a_pad = a_ref.shape[2]
+        b_pad = b_ref.shape[2]
+        tm = min(_TM, b_pad)
+        tn = min(_tn_for(b_pad), a_pad)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (tn, 1), 0)
+
+        def n_tile(i, acc):
+            row = pl.ds(i * tn, tn)
+            a0 = a_ref[0, 0, row][:, None]
+            a1 = a_ref[0, 1, row][:, None]
+            a2 = a_ref[0, 2, row][:, None]
+
+            def m_tile(j, best):
+                sl = pl.ds(j * tm, tm)
+                d = (a0 - b_ref[0, 0, sl][None, :]) ** 2
+                d += (a1 - b_ref[0, 1, sl][None, :]) ** 2
+                d += (a2 - b_ref[0, 2, sl][None, :]) ** 2  # (tn, tm)
+                return jnp.minimum(jnp.min(d, axis=1, keepdims=True), best)
+
+            best = jnp.full((tn, 1), jnp.inf, jnp.float32)
+            best = jax.lax.fori_loop(0, b_pad // tm, m_tile, best)
+            # query-side padding rows carry sentinel coords; mask them out
+            valid = (i * tn + row_ids) < a_true
+            return acc + jnp.sum(jnp.where(valid, jnp.maximum(best, 0.0), 0.0))
+
+        return jax.lax.fori_loop(0, a_pad // tn, n_tile, jnp.float32(0.0))
+
+    def bidir(a_ref, b_ref, a_true, b_true):
+        """Single-m-tile fast path: one pass over the (n, m) distance
+        tiles feeds BOTH direction minima (row-min per tile + a running
+        column-min vector) — half the distance evaluations of the
+        two-pass path.  The per-pair kernel's bidirectional variant lost
+        to scoped-VMEM pressure at (1024, 2048) tiles (see
+        chamfer.chamfer_distance_eval NOTE); here the tile is (512, m)
+        and the (1, m) running vector is 8 KB."""
+        a_pad = a_ref.shape[2]
+        b_pad = b_ref.shape[2]
+        # largest tile that still divides a_pad (the fori grid must cover
+        # every row): a (2048, 2048) f32 tile measured ~5% faster than
+        # (1024, 2048) on v5e (107.6k vs 101.8k pairs/s), both >3x the
+        # round-2 per-pair path
+        tn = 2048 if a_pad % 2048 == 0 else min(1024, a_pad)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (tn, 1), 0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, b_pad), 1)
+
+        def n_tile(i, carry):
+            acc, col_best = carry
+            row = pl.ds(i * tn, tn)
+            a0 = a_ref[0, 0, row][:, None]
+            a1 = a_ref[0, 1, row][:, None]
+            a2 = a_ref[0, 2, row][:, None]
+            d = (a0 - b_ref[0, 0, :][None, :]) ** 2
+            d += (a1 - b_ref[0, 1, :][None, :]) ** 2
+            d += (a2 - b_ref[0, 2, :][None, :]) ** 2  # (tn, b_pad)
+            row_best = jnp.min(d, axis=1, keepdims=True)  # (tn, 1)
+            valid = (i * tn + row_ids) < a_true
+            acc = acc + jnp.sum(jnp.where(valid, jnp.maximum(row_best, 0.0), 0.0))
+            # sentinel a-rows are far from every real b point, so they
+            # never win the column minima; the (pad-row, pad-col) zeros
+            # are excluded by the b_true mask below
+            col_best = jnp.minimum(col_best, jnp.min(d, axis=0, keepdims=True))
+            return acc, col_best
+
+        acc, col_best = jax.lax.fori_loop(
+            0, a_pad // tn, n_tile,
+            (jnp.float32(0.0), jnp.full((1, b_pad), jnp.inf, jnp.float32)),
+        )
+        s2 = jnp.sum(jnp.where(col_ids < b_true, jnp.maximum(col_best, 0.0), 0.0))
+        return acc, s2
+
+    if y_ref.shape[2] <= _TM:
+        s1, s2 = bidir(x_ref, y_ref, n_true, m_true)
+    else:
+        s1 = dir_sum(x_ref, y_ref, n_true)
+        s2 = dir_sum(y_ref, x_ref, m_true)
+    val = s1 / n_true + s2 / m_true
+    # the whole (R, C) result block stays VMEM-resident across the grid
+    # (constant index_map; a (1,1) block would violate the (8,128) tiling
+    # rule); each program deposits its scalar via a masked merge
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    r, c = out_ref.shape
+    hit = (jax.lax.broadcasted_iota(jnp.int32, (r, c), 0) == i) & (
+        jax.lax.broadcasted_iota(jnp.int32, (r, c), 1) == j
+    )
+    out_ref[...] = jnp.where(hit, val, out_ref[...])
+
+
+def _pad_points(p, target: int):
+    """Pad a (B, N, 3) cloud stack to N=target with far-away sentinels
+    (never the nearest neighbor; query-side rows are masked in-kernel)."""
+    b, n, _ = p.shape
+    if target == n:
+        return p
+    return jnp.concatenate(
+        [p, jnp.full((b, target - n, 3), 1e18, jnp.float32)], axis=1
+    )
+
+
+def _block_pad(n: int) -> int:
+    """Point-count padding for the block kernel: lane multiple, and a
+    multiple of the n-tile (so the fori grid covers every row) and of the
+    m-tile when chunked."""
+    p = _round_up(n, 128)
+    if p > _TM:
+        p = _round_up(p, _TM)
+    elif p > 1024:
+        p = _round_up(p, 1024)  # tn = 1024: tile loop must cover all rows
+    return p
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cd_block_pallas(rows, cols, interpret: bool = False):
+    """(R, N, 3), (C, M, 3) -> (R, C) block of symmetric Chamfer scores
+    ``mean(d1) + mean(d2)`` (compute_cd semantics).  Grid is (R, C); the
+    row cloud's VMEM block depends only on the first grid axis, so Mosaic
+    fetches each row once and streams the C column clouds past it."""
+    r, n, _ = rows.shape
+    c, m, _ = cols.shape
+    n_pad = _block_pad(n)
+    m_pad = _block_pad(m)
+    xt = jnp.transpose(_pad_points(rows.astype(jnp.float32), n_pad), (0, 2, 1))
+    yt = jnp.transpose(_pad_points(cols.astype(jnp.float32), m_pad), (0, 2, 1))
+
+    out = pl.pallas_call(
+        functools.partial(_cd_block_kernel, n_true=n, m_true=m),
+        grid=(r, c),
+        in_specs=[
+            pl.BlockSpec((1, 3, n_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, m_pad), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r, c), lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, c), jnp.float32),
+        interpret=interpret,
+    )(xt, yt)
+    return out
+
+
 def nn_pallas(x, y, interpret: bool = False, max_batch: int = 16,
               need_idx: bool = True):
     """(B,N,3), (B,M,3) -> (min sq dist (B,N) f32, argmin (B,N) i32 or

@@ -1,57 +1,151 @@
 """COV / MMD / 1-NNA distributional metrics over pairwise CD/EMD matrices.
 
 Parity with ``utils/metrics/cov_mmd_1nna.py`` (PointFlow metrics).  The
-reference fills the (B1, B2) matrix one row at a time with an inner
-batch loop (cov_mmd_1nna.py:24-51); here each row-block is a single jitted
-call that broadcasts one cloud against a chunk — the CD inner loop is
-MXU matmuls via metrics.chamfer, and rows are processed in blocks to
-bound memory.
+reference fills the (B1, B2) matrix one row at a time with an inner batch
+loop (cov_mmd_1nna.py:24-51) — ~50k kernel launches for the 5000^2
+protocol.  Here the CD matrix is filled in (row_block x col_chunk)
+BLOCKS: one dispatch covers the whole block (a 2-D Pallas grid on TPU, a
+vmapped broadcast elsewhere), and when a ``mesh`` is passed the row axis
+of each block is sharded over the data mesh with ``shard_map`` so every
+chip fills its own slice of the matrix concurrently.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+import sys
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
+from dusty_gan_tpu.metrics import chamfer as _chamfer
 from dusty_gan_tpu.metrics.chamfer import compute_cd
 from dusty_gan_tpu.metrics.emd import compute_emd
+from dusty_gan_tpu.parallel.mesh import DATA_AXIS
+
+# rows per device per dispatch: 16 rows x 512 cols = 8192 pairs/dispatch
+# amortizes host dispatch (the pre-block path paid it per 512 pairs)
+_ROW_BLOCK = 16
+
+
+def _cd_block_xla(rows, cols):
+    """(R,N,3),(C,M,3) -> (R,C) CD block without Pallas (CPU tests, or
+    kernel-compile fallback)."""
+
+    def one(row):
+        return compute_cd(jnp.broadcast_to(row, cols.shape), cols)
+
+    return jax.vmap(one)(rows)
+
+
+def _make_cd_block_impl(use_pallas: bool, mesh):
+    if use_pallas:
+        from dusty_gan_tpu.metrics.chamfer_pallas import cd_block_pallas
+
+        fn = cd_block_pallas
+    else:
+        fn = _cd_block_xla
+    if mesh is not None and mesh.devices.size > 1:
+        fn = jax.jit(
+            jax.shard_map(
+                fn, mesh=mesh, in_specs=(P(DATA_AXIS), P()),
+                out_specs=P(DATA_AXIS), check_vma=False,
+            )
+        )
+    else:
+        fn = jax.jit(fn)
+    return fn
+
+
+def _pad_rows(p, target: int):
+    b = p.shape[0]
+    if b == target:
+        return jnp.asarray(p)
+    pad = jnp.zeros((target - b,) + tuple(p.shape[1:]), jnp.float32)
+    return jnp.concatenate([jnp.asarray(p, jnp.float32), pad], axis=0)
+
+
+def _pairwise_cd_blocked(pcs_1, pcs_2, col_chunk: int, mesh=None,
+                         verbose: bool = False) -> np.ndarray:
+    """Block-dispatched (B1,B2) symmetric-CD matrix; rows sharded over the
+    mesh when given.  Symmetric inputs (pcs_1 is pcs_2) compute only
+    blocks touching the upper triangle and mirror the rest."""
+    b1, b2 = pcs_1.shape[0], pcs_2.shape[0]
+    n_dev = mesh.devices.size if mesh is not None else 1
+    R = _ROW_BLOCK * n_dev
+    C = int(col_chunk)
+    symmetric = pcs_1 is pcs_2
+
+    b1p, b2p = -(-b1 // R) * R, -(-b2 // C) * C
+    rows_all = _pad_rows(pcs_1, b1p)
+    cols_all = _pad_rows(pcs_2, b2p)
+
+    use_pallas = _chamfer._use_pallas()
+    impl = _make_cd_block_impl(use_pallas, mesh)
+    _chamfer.LAST_DISPATCH = "pallas" if use_pallas else "xla"
+
+    out = np.zeros((b1p, b2p), np.float32)
+    for i in range(0, b1p, R):
+        rows = jax.lax.slice_in_dim(rows_all, i, i + R)
+        for j in range(0, b2p, C):
+            if symmetric and j + C <= i:
+                continue  # entirely below the diagonal: mirrored later
+            cols = jax.lax.slice_in_dim(cols_all, j, j + C)
+            try:
+                blk = np.asarray(impl(rows, cols))
+            except Exception as e:
+                if not use_pallas:
+                    raise
+                print(
+                    f"WARNING: pallas pairwise-CD block kernel failed "
+                    f"({type(e).__name__}: {e}); falling back to the XLA "
+                    f"block path", file=sys.stderr, flush=True,
+                )
+                use_pallas = False
+                impl = _make_cd_block_impl(use_pallas, mesh)
+                _chamfer.LAST_DISPATCH = "xla"
+                blk = np.asarray(impl(rows, cols))
+            out[i : i + R, j : j + C] = blk
+        if verbose:
+            print(f"pairwise cd: {min(i + R, b1)}/{b1}")
+    out = out[:b1, :b2]
+    if symmetric:
+        lower = np.tril_indices(b1, -1)
+        out[lower] = out.T[lower]
+    return out
 
 
 def _pairwise_distance(pcs_1, pcs_2, batch_size: int, metrics: Tuple[str, ...],
-                       verbose: bool = False):
+                       verbose: bool = False, mesh=None):
     """(B1,N,3),(B2,N,3) -> {metric: (B1,B2) np.ndarray}."""
     b1, b2 = pcs_1.shape[0], pcs_2.shape[0]
+    out = {}
+    if "cd" in metrics:
+        out["cd"] = _pairwise_cd_blocked(pcs_1, pcs_2, batch_size, mesh, verbose)
 
-    @jax.jit
-    def row_cd(one, chunk):
-        return compute_cd(jnp.broadcast_to(one, chunk.shape), chunk)
+    if "emd" in metrics:
+        # EMD keeps the row loop: its (B,N,M) match state bounds the batch
+        @jax.jit
+        def row_emd(one, chunk):
+            return compute_emd(jnp.broadcast_to(one, chunk.shape), chunk)
 
-    @jax.jit
-    def row_emd(one, chunk):
-        return compute_emd(jnp.broadcast_to(one, chunk.shape), chunk)
-
-    fns = {"cd": row_cd, "emd": row_emd}
-    out = {m: np.zeros((b1, b2), np.float32) for m in metrics}
-    symmetric = pcs_1 is pcs_2  # rr/gg matrices: compute the upper
-    # triangle only and mirror (CD/EMD are symmetric; the reference
-    # recomputes both halves, cov_mmd_1nna.py:33-51)
-    for i in range(b1):
-        one = pcs_1[i]
-        j_start = (i // batch_size) * batch_size if symmetric else 0
-        for j in range(j_start, b2, batch_size):
-            chunk = pcs_2[j : j + batch_size]
-            for m in metrics:
-                row = np.asarray(fns[m](one, chunk))
-                out[m][i, j : j + batch_size] = row
-        if verbose and (i + 1) % 100 == 0:
-            print(f"pairwise {metrics}: {i + 1}/{b1}")
-    if symmetric:
-        for m in metrics:
+        m = np.zeros((b1, b2), np.float32)
+        symmetric = pcs_1 is pcs_2
+        for i in range(b1):
+            one = pcs_1[i]
+            j_start = (i // batch_size) * batch_size if symmetric else 0
+            for j in range(j_start, b2, batch_size):
+                chunk = pcs_2[j : j + batch_size]
+                m[i, j : j + batch_size] = np.asarray(row_emd(one, chunk))
+            if verbose and (i + 1) % 100 == 0:
+                print(f"pairwise emd: {i + 1}/{b1}")
+        if symmetric:
             lower = np.tril_indices(b1, -1)
-            out[m][lower] = out[m].T[lower]
+            m[lower] = m.T[lower]
+        out["emd"] = m
+    assert set(out) == set(metrics), (set(out), metrics)
     return out
 
 
@@ -105,13 +199,14 @@ def _compute_nna(m_rr, m_rg, m_gg, k: int = 1, sqrt: bool = False) -> Dict[str, 
 
 def compute_cov_mmd_1nna(
     pcs_gen, pcs_ref, batch_size: int, metrics: Tuple[str, ...] = ("cd",),
-    verbose: bool = False,
+    verbose: bool = False, mesh=None,
 ) -> Dict[str, float]:
-    """(cov_mmd_1nna.py:109-139)."""
+    """(cov_mmd_1nna.py:109-139).  ``mesh``: shard the pairwise-matrix row
+    axis over the data mesh (the reference runs this stage on one GPU)."""
     assert isinstance(metrics, tuple)
-    m_rr = _pairwise_distance(pcs_ref, pcs_ref, batch_size, metrics, verbose)
-    m_rg = _pairwise_distance(pcs_ref, pcs_gen, batch_size, metrics, verbose)
-    m_gg = _pairwise_distance(pcs_gen, pcs_gen, batch_size, metrics, verbose)
+    m_rr = _pairwise_distance(pcs_ref, pcs_ref, batch_size, metrics, verbose, mesh)
+    m_rg = _pairwise_distance(pcs_ref, pcs_gen, batch_size, metrics, verbose, mesh)
+    m_gg = _pairwise_distance(pcs_gen, pcs_gen, batch_size, metrics, verbose, mesh)
 
     results: Dict[str, float] = {}
     for metric in metrics:

@@ -188,15 +188,22 @@ class Trainer:
             "mask": jnp.asarray(batch["mask"]),
         })
 
-    def device_iter(self, lookahead: int = 2):
+    def device_iter(self, lookahead: int = 2, start_iteration: Optional[int] = None):
         """Infinite iterator of device-resident sharded batches: the
         host->device transfer of the next batches is issued while the
         current step computes (hides transfer latency; the reference
-        relies on pinned-memory DataLoader workers for the same)."""
+        relies on pinned-memory DataLoader workers for the same).
+
+        Starts the stream at ``start_iteration`` (default: the trainer's
+        resume point), so a resumed run continues the exact batch stream
+        the uninterrupted run would have produced — unlike the reference,
+        which replays the loader from scratch (dcgan_amp.py:134-144)."""
         import collections
 
+        if start_iteration is None:
+            start_iteration = self.start_iteration
         q = collections.deque()
-        it = iter(self.loader)
+        it = self.loader.iter_from(start_iteration)
         while True:
             while len(q) < lookahead:
                 q.append(self.shard(next(it)))
@@ -270,7 +277,8 @@ class Trainer:
         scores = {}
         scores.update(compute_swd(fake_2d, real_2d, key=jax.random.fold_in(self.root_key, 0x5D)))
         scores["jsd"] = compute_jsd(fake_3d / 2.0, real_3d / 2.0)
-        scores.update(compute_cov_mmd_1nna(fake_3d, real_3d, 512, ("cd",)))
+        scores.update(compute_cov_mmd_1nna(fake_3d, real_3d, 512, ("cd",),
+                                           mesh=self.mesh))
         return {k: float(v) for k, v in scores.items()}
 
     # ------------------------------------------------------------------

@@ -5,7 +5,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from dusty_gan_tpu.metrics.chamfer_pallas import nn_pallas
+from dusty_gan_tpu.metrics.chamfer_pallas import cd_block_pallas, nn_pallas
 from dusty_gan_tpu.metrics.cov_mmd_1nna import _pairwise_distance
 
 
@@ -58,6 +58,52 @@ class TestPallasNN:
         assert none is None
         np.testing.assert_allclose(np.asarray(d_only), np.asarray(d_full),
                                    rtol=0, atol=0)
+
+
+class TestCdBlockKernel:
+    @staticmethod
+    def _oracle(a, b):
+        """f64 brute-force (R, C) symmetric-CD block."""
+        r, c = a.shape[0], b.shape[0]
+        out = np.zeros((r, c))
+        for i in range(r):
+            for j in range(c):
+                d = ((a[i][:, None].astype(np.float64)
+                      - b[j][None].astype(np.float64)) ** 2).sum(-1)
+                out[i, j] = d.min(1).mean() + d.min(0).mean()
+        return out
+
+    def test_block_matches_f64_bruteforce(self):
+        rng = np.random.RandomState(7)
+        a = rng.uniform(-1, 1, (5, 256, 3)).astype(np.float32)
+        b = rng.uniform(-1, 1, (3, 128, 3)).astype(np.float32)
+        got = cd_block_pallas(jnp.asarray(a), jnp.asarray(b), interpret=True)
+        np.testing.assert_allclose(np.asarray(got), self._oracle(a, b),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_unaligned_point_counts_masked(self):
+        """non-lane-multiple point counts: query-side sentinel rows must be
+        masked out of the means, target-side sentinels never selected."""
+        rng = np.random.RandomState(8)
+        a = rng.uniform(-1, 1, (4, 100, 3)).astype(np.float32)
+        b = rng.uniform(-1, 1, (2, 77, 3)).astype(np.float32)
+        got = cd_block_pallas(jnp.asarray(a), jnp.asarray(b), interpret=True)
+        np.testing.assert_allclose(np.asarray(got), self._oracle(a, b),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_block_matches_compute_cd_rows(self):
+        """block result == the per-row compute_cd loop it replaces."""
+        from dusty_gan_tpu.metrics.chamfer import compute_cd
+
+        rng = np.random.RandomState(9)
+        a = jnp.asarray(rng.uniform(-1, 1, (6, 64, 3)).astype(np.float32))
+        b = jnp.asarray(rng.uniform(-1, 1, (4, 64, 3)).astype(np.float32))
+        got = cd_block_pallas(a, b, interpret=True)
+        rows = np.stack([
+            np.asarray(compute_cd(jnp.broadcast_to(a[i], b.shape), b))
+            for i in range(a.shape[0])
+        ])
+        np.testing.assert_allclose(np.asarray(got), rows, rtol=1e-5, atol=1e-6)
 
 
 class TestSymmetricPairwise:
