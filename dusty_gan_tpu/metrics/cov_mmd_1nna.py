@@ -67,24 +67,15 @@ def _pad_rows(p, target: int):
     return jnp.concatenate([jnp.asarray(p, jnp.float32), pad], axis=0)
 
 
-def _pairwise_cd_blocked(pcs_1, pcs_2, col_chunk: int, mesh=None,
-                         verbose: bool = False) -> np.ndarray:
-    """Block-dispatched (B1,B2) symmetric-CD matrix; rows sharded over the
-    mesh when given.  Symmetric inputs (pcs_1 is pcs_2) compute only
-    blocks touching the upper triangle and mirror the rest."""
+def _blocked_matrix(pcs_1, pcs_2, R: int, C: int, impl, symmetric: bool,
+                    verbose: bool, label: str) -> np.ndarray:
+    """Fill the (B1, B2) matrix in (R, C) blocks through ``impl(rows,
+    cols) -> (R, C)``.  Symmetric inputs compute only blocks touching the
+    upper triangle and mirror the rest."""
     b1, b2 = pcs_1.shape[0], pcs_2.shape[0]
-    n_dev = mesh.devices.size if mesh is not None else 1
-    R = _ROW_BLOCK * n_dev
-    C = int(col_chunk)
-    symmetric = pcs_1 is pcs_2
-
     b1p, b2p = -(-b1 // R) * R, -(-b2 // C) * C
     rows_all = _pad_rows(pcs_1, b1p)
     cols_all = _pad_rows(pcs_2, b2p)
-
-    use_pallas = _chamfer._use_pallas()
-    impl = _make_cd_block_impl(use_pallas, mesh)
-    _chamfer.LAST_DISPATCH = "pallas" if use_pallas else "xla"
 
     out = np.zeros((b1p, b2p), np.float32)
     for i in range(0, b1p, R):
@@ -93,23 +84,9 @@ def _pairwise_cd_blocked(pcs_1, pcs_2, col_chunk: int, mesh=None,
             if symmetric and j + C <= i:
                 continue  # entirely below the diagonal: mirrored later
             cols = jax.lax.slice_in_dim(cols_all, j, j + C)
-            try:
-                blk = np.asarray(impl(rows, cols))
-            except Exception as e:
-                if not use_pallas:
-                    raise
-                print(
-                    f"WARNING: pallas pairwise-CD block kernel failed "
-                    f"({type(e).__name__}: {e}); falling back to the XLA "
-                    f"block path", file=sys.stderr, flush=True,
-                )
-                use_pallas = False
-                impl = _make_cd_block_impl(use_pallas, mesh)
-                _chamfer.LAST_DISPATCH = "xla"
-                blk = np.asarray(impl(rows, cols))
-            out[i : i + R, j : j + C] = blk
+            out[i : i + R, j : j + C] = np.asarray(impl(rows, cols))
         if verbose:
-            print(f"pairwise cd: {min(i + R, b1)}/{b1}")
+            print(f"pairwise {label}: {min(i + R, b1)}/{b1}")
     out = out[:b1, :b2]
     if symmetric:
         lower = np.tril_indices(b1, -1)
@@ -117,34 +94,104 @@ def _pairwise_cd_blocked(pcs_1, pcs_2, col_chunk: int, mesh=None,
     return out
 
 
+def _pairwise_cd_blocked(pcs_1, pcs_2, col_chunk: int, mesh=None,
+                         verbose: bool = False) -> np.ndarray:
+    """Block-dispatched (B1,B2) symmetric-CD matrix; rows sharded over the
+    mesh when given."""
+    n_dev = mesh.devices.size if mesh is not None else 1
+    R, C = _ROW_BLOCK * n_dev, int(col_chunk)
+    symmetric = pcs_1 is pcs_2
+
+    use_pallas = _chamfer._use_pallas()
+    _chamfer.LAST_DISPATCH = "pallas" if use_pallas else "xla"
+    if use_pallas:
+        try:
+            return _blocked_matrix(
+                pcs_1, pcs_2, R, C, _make_cd_block_impl(True, mesh),
+                symmetric, verbose, "cd",
+            )
+        except Exception as e:
+            print(
+                f"WARNING: pallas pairwise-CD block kernel failed "
+                f"({type(e).__name__}: {e}); falling back to the XLA block "
+                f"path", file=sys.stderr, flush=True,
+            )
+            _chamfer.LAST_DISPATCH = "xla"
+    return _blocked_matrix(
+        pcs_1, pcs_2, R, C, _make_cd_block_impl(False, mesh),
+        symmetric, verbose, "cd",
+    )
+
+
+def _pairwise_emd_rowwise(pcs_1, pcs_2, batch_size: int,
+                          verbose: bool) -> np.ndarray:
+    """Dense-XLA fallback: one row of the matrix per dispatch (the (B, N,
+    M) match state of the dense path bounds the batch)."""
+    b1, b2 = pcs_1.shape[0], pcs_2.shape[0]
+
+    @jax.jit
+    def row_emd(one, chunk):
+        return compute_emd(jnp.broadcast_to(one, chunk.shape), chunk)
+
+    m = np.zeros((b1, b2), np.float32)
+    symmetric = pcs_1 is pcs_2
+    for i in range(b1):
+        one = pcs_1[i]
+        j_start = (i // batch_size) * batch_size if symmetric else 0
+        for j in range(j_start, b2, batch_size):
+            chunk = pcs_2[j : j + batch_size]
+            m[i, j : j + batch_size] = np.asarray(row_emd(one, chunk))
+        if verbose and (i + 1) % 100 == 0:
+            print(f"pairwise emd: {i + 1}/{b1}")
+    if symmetric:
+        lower = np.tril_indices(b1, -1)
+        m[lower] = m.T[lower]
+    return m
+
+
+def _pairwise_emd(pcs_1, pcs_2, batch_size: int, mesh=None,
+                  verbose: bool = False) -> np.ndarray:
+    """Pallas streaming-auction blocks on TPU (metrics/emd_pallas.py, rows
+    mesh-sharded); dense-XLA row loop elsewhere."""
+    from dusty_gan_tpu.metrics.emd_pallas import (
+        block_shapes_supported, emd_block_pallas,
+    )
+
+    n, m = pcs_1.shape[1], pcs_2.shape[1]
+    if _chamfer._use_pallas() and block_shapes_supported(n, m):
+        n_dev = mesh.devices.size if mesh is not None else 1
+
+        def block(rows, cols):
+            return emd_block_pallas(rows, cols) / float(n)  # compute_emd norm
+
+        impl = block
+        if mesh is not None and mesh.devices.size > 1:
+            impl = jax.jit(
+                jax.shard_map(block, mesh=mesh, in_specs=(P(DATA_AXIS), P()),
+                              out_specs=P(DATA_AXIS), check_vma=False)
+            )
+        try:
+            return _blocked_matrix(
+                pcs_1, pcs_2, _ROW_BLOCK * n_dev, int(batch_size), impl,
+                pcs_1 is pcs_2, verbose, "emd",
+            )
+        except Exception as e:
+            print(
+                f"WARNING: pallas EMD block kernel failed "
+                f"({type(e).__name__}: {e}); falling back to the dense XLA "
+                f"row loop", file=sys.stderr, flush=True,
+            )
+    return _pairwise_emd_rowwise(pcs_1, pcs_2, batch_size, verbose)
+
+
 def _pairwise_distance(pcs_1, pcs_2, batch_size: int, metrics: Tuple[str, ...],
                        verbose: bool = False, mesh=None):
     """(B1,N,3),(B2,N,3) -> {metric: (B1,B2) np.ndarray}."""
-    b1, b2 = pcs_1.shape[0], pcs_2.shape[0]
     out = {}
     if "cd" in metrics:
         out["cd"] = _pairwise_cd_blocked(pcs_1, pcs_2, batch_size, mesh, verbose)
-
     if "emd" in metrics:
-        # EMD keeps the row loop: its (B,N,M) match state bounds the batch
-        @jax.jit
-        def row_emd(one, chunk):
-            return compute_emd(jnp.broadcast_to(one, chunk.shape), chunk)
-
-        m = np.zeros((b1, b2), np.float32)
-        symmetric = pcs_1 is pcs_2
-        for i in range(b1):
-            one = pcs_1[i]
-            j_start = (i // batch_size) * batch_size if symmetric else 0
-            for j in range(j_start, b2, batch_size):
-                chunk = pcs_2[j : j + batch_size]
-                m[i, j : j + batch_size] = np.asarray(row_emd(one, chunk))
-            if verbose and (i + 1) % 100 == 0:
-                print(f"pairwise emd: {i + 1}/{b1}")
-        if symmetric:
-            lower = np.tril_indices(b1, -1)
-            m[lower] = m.T[lower]
-        out["emd"] = m
+        out["emd"] = _pairwise_emd(pcs_1, pcs_2, batch_size, mesh, verbose)
     assert set(out) == set(metrics), (set(out), metrics)
     return out
 

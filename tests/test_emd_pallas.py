@@ -1,0 +1,63 @@
+"""Streaming-auction EMD kernel (interpret mode on CPU) vs the dense XLA
+implementation it replaces at eval scale (round-2 verdict, weak #4)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dusty_gan_tpu.metrics.emd import earth_mover_distance
+from dusty_gan_tpu.metrics.emd_pallas import (
+    block_shapes_supported,
+    emd_block_pallas,
+)
+
+
+class TestEmdBlockKernel:
+    def test_matches_dense_path(self):
+        """match-matrix-free streaming formulation == dense approx_match +
+        match_cost, bit-faithfully to f32 accumulation order."""
+        rng = np.random.RandomState(0)
+        a = rng.uniform(-1, 1, (2, 128, 3)).astype(np.float32)
+        b = rng.uniform(-1, 1, (2, 128, 3)).astype(np.float32)
+        blk = np.asarray(emd_block_pallas(jnp.asarray(a), jnp.asarray(b),
+                                          interpret=True))
+        oracle = np.zeros((2, 2), np.float32)
+        for i in range(2):
+            oracle[i] = np.asarray(earth_mover_distance(
+                jnp.broadcast_to(jnp.asarray(a[i]), b.shape), jnp.asarray(b)))
+        np.testing.assert_allclose(blk, oracle, rtol=5e-4)
+
+    def test_uneven_mass(self):
+        """n != m engages the multiL/multiR integer mass split (cu:38-45)."""
+        rng = np.random.RandomState(1)
+        a = rng.uniform(-1, 1, (1, 256, 3)).astype(np.float32)
+        b = rng.uniform(-1, 1, (1, 128, 3)).astype(np.float32)
+        blk = np.asarray(emd_block_pallas(jnp.asarray(a), jnp.asarray(b),
+                                          interpret=True))
+        oracle = np.asarray(earth_mover_distance(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_allclose(blk[0, 0], oracle[0], rtol=5e-4)
+
+    def test_shape_guard(self):
+        assert block_shapes_supported(2048, 2048)
+        assert block_shapes_supported(512, 512)
+        assert not block_shapes_supported(100, 128)   # not lane-aligned
+        assert not block_shapes_supported(2048, 4096)  # multi-m-tile
+
+    def test_unsupported_shapes_assert(self):
+        a = jnp.zeros((1, 100, 3))
+        with pytest.raises(AssertionError):
+            emd_block_pallas(a, a, interpret=True)
+
+
+class TestPairwiseEmdDispatch:
+    def test_rowwise_path_off_tpu(self):
+        """CPU tests exercise the dense fallback; result matches the
+        brute-force row loop by construction and stays symmetric."""
+        from dusty_gan_tpu.metrics.cov_mmd_1nna import _pairwise_distance
+
+        rng = np.random.RandomState(2)
+        pcs = jnp.asarray(rng.uniform(-1, 1, (5, 64, 3)).astype(np.float32))
+        m = _pairwise_distance(pcs, pcs, 4, ("emd",))["emd"]
+        assert m.shape == (5, 5)
+        np.testing.assert_allclose(m, m.T, rtol=1e-5, atol=1e-6)
+        assert (np.diag(m) < 5e-3).all()
