@@ -20,8 +20,11 @@ def main(argv=None):
     parser.add_argument("--root-dir", type=str, required=True)
     parser.add_argument("--height", type=int, default=64)
     parser.add_argument("--width", type=int, default=2048)
+    parser.add_argument("--n-jobs", type=int, default=None,
+                        help="worker processes (default: all cores; 1 = inline)")
     args = parser.parse_args(argv)
-    process_kitti_root(args.root_dir, args.height, args.width)
+    process_kitti_root(args.root_dir, args.height, args.width,
+                       n_jobs=args.n_jobs)
 
 
 if __name__ == "__main__":

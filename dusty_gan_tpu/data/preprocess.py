@@ -129,16 +129,10 @@ def _nan_mean(arr: np.ndarray, axis: int) -> np.ndarray:
     return s / np.maximum(c, 1)
 
 
-def compute_avg_angles(scan_iter, min_depth: float = 0.9, max_depth: float = 120.0):
-    """Mean per-pixel (pitch, yaw) over a dataset of (H, W, >=3) xyz range
-    images in METERS (process_kitti.py:143-183). Returns (2, H, W).
-
-    The reference feeds pre-masked dataset tensors (invalid pixels zeroed
-    by the [min_depth, max_depth] gate, datasets/kitti.py:56-67), so the
-    same gate is applied here."""
-    total_valid = None
-    sum_pitch = sum_yaw = None
-    total_data = 0
+def _angle_partials(scan_iter, min_depth: float, max_depth: float):
+    """Streaming partial sums for the mean angle grid: (valid-count,
+    pitch-sum, yaw-sum) — associative, so shards combine by addition."""
+    total_valid = sum_pitch = sum_yaw = None
     for xyz in scan_iter:
         xyz = np.asarray(xyz, np.float64)
         x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
@@ -154,8 +148,30 @@ def compute_avg_angles(scan_iter, min_depth: float = 0.9, max_depth: float = 120
         total_valid += valid
         sum_pitch += pitch * valid
         sum_yaw += yaw * valid
-        total_data += 1
+    return total_valid, sum_pitch, sum_yaw
 
+
+def _angle_partials_for_paths(paths, min_depth: float, max_depth: float):
+    """Process-pool worker: partial angle sums over a shard of .npy scans."""
+    return _angle_partials(
+        (np.load(p)[..., :3] for p in paths), min_depth, max_depth
+    )
+
+
+def compute_avg_angles(scan_iter, min_depth: float = 0.9, max_depth: float = 120.0):
+    """Mean per-pixel (pitch, yaw) over a dataset of (H, W, >=3) xyz range
+    images in METERS (process_kitti.py:143-183). Returns (2, H, W).
+
+    The reference feeds pre-masked dataset tensors (invalid pixels zeroed
+    by the [min_depth, max_depth] gate, datasets/kitti.py:56-67), so the
+    same gate is applied here."""
+    total_valid, sum_pitch, sum_yaw = _angle_partials(
+        scan_iter, min_depth, max_depth
+    )
+    return _finalize_angles(total_valid, sum_pitch, sum_yaw)
+
+
+def _finalize_angles(total_valid, sum_pitch, sum_yaw):
     with np.errstate(invalid="ignore", divide="ignore"):
         pitch = sum_pitch / total_valid
         yaw = sum_yaw / total_valid
@@ -172,10 +188,30 @@ def compute_avg_angles(scan_iter, min_depth: float = 0.9, max_depth: float = 120
     return angles.astype(np.float32)
 
 
-def process_kitti_root(root_dir: str, H: int = 64, W: int = 2048, verbose: bool = True):
+def _process_one(task):
+    """Process-pool worker: one .bin -> .npy projection (+labels)."""
+    point_path, save_path, H, W, label_path, label_save = task
+    process_bin_file(point_path, save_path, H, W, label_path, label_save)
+    return save_path
+
+
+def _shards(items, n: int):
+    return [items[i::n] for i in range(n) if items[i::n]]
+
+
+def process_kitti_root(root_dir: str, H: int = 64, W: int = 2048,
+                       verbose: bool = True, n_jobs: int = None):
     """Full offline build (process_kitti.py:186-222): project every
     sequence's .bin files into ``<root>/dusty-gan/sequences`` and write
-    ``angles.npy`` (+ ``angles.pt`` when torch is available)."""
+    ``angles.npy`` (+ ``angles.pt`` when torch is available).
+
+    Scans fan out over a process pool (``n_jobs``, default all cores) like
+    the reference's ``joblib.Parallel`` (process_kitti.py:26,186-222), and
+    the train-split angle accumulation is sharded over the same pool (the
+    partial sums are associative); ``n_jobs=1`` runs inline."""
+    n_jobs = os.cpu_count() if n_jobs is None else max(1, int(n_jobs))
+
+    tasks = []
     split_dirs = sorted(glob(osp.join(root_dir, "dataset/sequences", "*")))
     for split_dir in split_dirs:
         for point_path in sorted(glob(osp.join(split_dir, "velodyne", "*.bin"))):
@@ -186,20 +222,48 @@ def process_kitti_root(root_dir: str, H: int = 64, W: int = 2048, verbose: bool 
                 label_path.replace("dataset/sequences", "dusty-gan/sequences")
                 .replace(".label", ".png")
             )
-            process_bin_file(point_path, save_path, H, W, label_path, label_save)
-        if verbose:
-            print("projected:", split_dir)
+            tasks.append((point_path, save_path, H, W, label_path, label_save))
+
+    if n_jobs > 1 and len(tasks) > 1:
+        from concurrent.futures import ProcessPoolExecutor
+
+        from dusty_gan_tpu.data import native
+
+        native.available()  # build librangeproj.so once before forking
+        done = 0
+        with ProcessPoolExecutor(max_workers=n_jobs) as pool:
+            for _ in pool.map(_process_one, tasks, chunksize=8):
+                done += 1
+                if verbose and done % 1000 == 0:
+                    print(f"projected: {done}/{len(tasks)}")
+    else:
+        for task in tasks:
+            _process_one(task)
+    if verbose:
+        print(f"projected: {len(tasks)} scans ({n_jobs} workers)")
 
     # mean angles over the train split at full resolution
     train_seqs = [0, 1, 2, 3, 4, 5, 6, 7, 9, 10]
+    paths = []
+    for seq in train_seqs:
+        seq_dir = osp.join(root_dir, "dusty-gan/sequences", str(seq).zfill(2))
+        paths.extend(sorted(glob(osp.join(seq_dir, "velodyne/*.npy"))))
 
-    def scans():
-        for seq in train_seqs:
-            seq_dir = osp.join(root_dir, "dusty-gan/sequences", str(seq).zfill(2))
-            for p in sorted(glob(osp.join(seq_dir, "velodyne/*.npy"))):
-                yield np.load(p)[..., :3]
+    if n_jobs > 1 and len(paths) > n_jobs:
+        from concurrent.futures import ProcessPoolExecutor
+        from functools import partial
 
-    angles = compute_avg_angles(scans())
+        with ProcessPoolExecutor(max_workers=n_jobs) as pool:
+            parts = list(pool.map(
+                partial(_angle_partials_for_paths, min_depth=0.9, max_depth=120.0),
+                _shards(paths, n_jobs),
+            ))
+        total_valid = sum(p[0] for p in parts)
+        sum_pitch = sum(p[1] for p in parts)
+        sum_yaw = sum(p[2] for p in parts)
+        angles = _finalize_angles(total_valid, sum_pitch, sum_yaw)
+    else:
+        angles = compute_avg_angles(np.load(p)[..., :3] for p in paths)
     np.save(osp.join(root_dir, "angles.npy"), angles)
     try:
         import torch

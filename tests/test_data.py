@@ -249,3 +249,42 @@ class TestSeededAugmentation:
     def test_standalone_getitem_deterministic(self, synth_root):
         ds = self._ds(synth_root)
         np.testing.assert_array_equal(ds[3]["depth"], ds[3]["depth"])
+
+
+class TestParallelPreprocess:
+    """process_kitti_root fans scans over a process pool (the reference
+    uses joblib.Parallel, process_kitti.py:186-222); the parallel build
+    must be bit-identical to the sequential one."""
+
+    @staticmethod
+    def _make_raw(root, n_seq=2, n_scans=5, seed=0):
+        import os
+
+        rng = np.random.RandomState(seed)
+        for seq in range(n_seq):
+            d = osp.join(root, "dataset/sequences", str(seq).zfill(2), "velodyne")
+            os.makedirs(d, exist_ok=True)
+            for i in range(n_scans):
+                n = rng.randint(4000, 6000)
+                pts = np.concatenate(
+                    [rng.uniform(-40, 40, (n, 3)), rng.uniform(0, 1, (n, 1))],
+                    axis=1).astype(np.float32)
+                pts.tofile(osp.join(d, f"{i:06d}.bin"))
+
+    def test_parallel_matches_sequential(self, tmp_path):
+        from glob import glob
+
+        from dusty_gan_tpu.data.preprocess import process_kitti_root
+
+        ra, rb = str(tmp_path / "seq"), str(tmp_path / "par")
+        self._make_raw(ra)
+        self._make_raw(rb)
+        a_angles = process_kitti_root(ra, H=16, W=128, verbose=False, n_jobs=1)
+        b_angles = process_kitti_root(rb, H=16, W=128, verbose=False, n_jobs=4)
+        np.testing.assert_array_equal(a_angles, b_angles)
+        pa = sorted(glob(osp.join(ra, "dusty-gan/sequences/*/velodyne/*.npy")))
+        pb = sorted(glob(osp.join(rb, "dusty-gan/sequences/*/velodyne/*.npy")))
+        assert len(pa) == len(pb) == 10
+        for x, y in zip(pa, pb):
+            np.testing.assert_array_equal(np.load(x), np.load(y))
+        assert osp.exists(osp.join(rb, "angles.npy"))
