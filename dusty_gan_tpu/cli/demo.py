@@ -34,6 +34,24 @@ def _save_png(path, img):
 COLOR_SCALE = 1 / 0.4  # demo.py's color_scale for inverse depth
 
 
+def _camera(zoom, yaw, pitch):
+    """BEV camera from the reference's view sliders (demo.py:188-229):
+    zoom in meters -> t = [0.1*z, 0, z]/120; yaw/pitch in degrees ->
+    R = Rz@Ry@Rx over [0, pitch, -yaw].  Returns (R, t) for
+    ``render_point_clouds``; (None, [0,0,0.5]) when no view requested."""
+    if zoom is None and yaw is None and pitch is None:
+        return None, np.asarray([0.0, 0.0, 0.5], np.float32)
+    from dusty_gan_tpu.geometry.normals import euler_angles_to_rotation_matrix
+
+    zoom = 60.0 if zoom is None else float(zoom)      # slider defaults
+    yaw = -45.0 if yaw is None else float(yaw)
+    pitch = 60.0 if pitch is None else float(pitch)
+    t_z = zoom / 120.0
+    t = np.asarray([0.1 * t_z, 0.0, t_z], np.float32)
+    angles = np.asarray([0.0, pitch / 180.0 * np.pi, -yaw / 180.0 * np.pi])
+    return euler_angles_to_rotation_matrix(angles), t
+
+
 def synthesis(args):
     import jax
     import jax.numpy as jnp
@@ -76,7 +94,8 @@ def synthesis(args):
     panels.append(("point_normal", np.asarray(out["normals"])))
     pts = np.asarray(out["points"]).reshape(n, -1, 3)
     nrm = np.asarray(out["normals"]).reshape(n, -1, 3)
-    bev = np.asarray(render_point_clouds(pts, nrm, L=512, t=np.asarray([0, 0, 0.5], np.float32)))
+    R, t = _camera(args.view_zoom, args.view_yaw, args.view_pitch)
+    bev = np.asarray(render_point_clouds(pts, nrm, L=512, R=R, t=t))
     panels.append(("point_clouds_bev", bev))
 
     for i in range(n):
@@ -96,6 +115,11 @@ def synthesis(args):
             pad = bev.shape[2] - top.shape[1]
             if pad > 0:
                 top = np.pad(top, ((0, 0), (pad // 2, pad - pad // 2), (0, 0)))
+            elif pad < 0:
+                # full-resolution models (e.g. 64x2048): the 2x depth panel
+                # is wider than the BEV render — center-crop it to match
+                off = -pad // 2
+                top = top[:, off : off + bev.shape[2]]
             frames.append(np.concatenate([top, bev[i]], axis=0))
         path = save_video(frames, osp.join(args.out, f"{args.latent_type}"), fps=args.video_fps)
         print("wrote", path)
@@ -110,7 +134,9 @@ def inversion(args):
     from dusty_gan_tpu.metrics.chamfer import chamfer_distance
     from dusty_gan_tpu.models import losses
     from dusty_gan_tpu.utils.corruption import apply_corruption
-    from dusty_gan_tpu.utils.inversion import make_inversion_loop, project_sphere
+    from dusty_gan_tpu.utils.inversion import (
+        make_inversion_loop, make_multicode_loop, project_sphere,
+    )
     from dusty_gan_tpu.utils.postprocess import colorize, postprocess
     from dusty_gan_tpu.utils.setup import make_eval_generator, setup
 
@@ -167,26 +193,10 @@ def inversion(args):
             "z": project_sphere(jax.random.normal(key, (args.num_code, int(cfg.model.gen.in_ch)))),
             "alpha": jnp.full((args.num_code, 1, 1, feature_ch), 1.0 / args.num_code),
         }
-        import optax
-
-        opt = optax.multi_transform(
-            {"z": optax.adam(0.1), "alpha": optax.adam(0.001)},
-            {"z": "z", "alpha": "alpha"},
-        )
-        grad_fn = jax.grad(lambda l: jnp.sum(loss_fn(l)))
-
-        @jax.jit
-        def opt_step(lat, opt_state):
-            grads = grad_fn(lat)
-            updates, opt_state = opt.update(grads, opt_state, lat)
-            lat = optax.apply_updates(lat, updates)
-            lat["z"] = project_sphere(lat["z"])
-            return lat, opt_state
-
-        opt_state = opt.init(z0)
-        lat = z0
-        for i in range(args.num_step):
-            lat, opt_state = opt_step(lat, opt_state)
+        # whole optimization = ONE compiled fori_loop program (the
+        # single-code path below compiles the same way)
+        run = jax.jit(make_multicode_loop(loss_fn, num_steps=args.num_step))
+        lat = run(z0)
         out = apply_composed(lat["z"], lat["alpha"])
     else:
         run = jax.jit(make_inversion_loop(loss_fn, num_steps=args.num_step, lr=0.1))
@@ -226,6 +236,14 @@ def main(argv=None):
                     help="also write an interpolation video (mp4 if cv2 is "
                          "importable, else GIF)")
     ps.add_argument("--video-fps", type=float, default=10.0)
+    ps.add_argument("--view-zoom", type=float, default=None,
+                    help="BEV camera distance in meters (1-120; reference "
+                         "slider default 60). Omitting all three view flags "
+                         "keeps the legacy fixed top-down view")
+    ps.add_argument("--view-yaw", type=float, default=None,
+                    help="BEV camera yaw in degrees (-180..180, default -45)")
+    ps.add_argument("--view-pitch", type=float, default=None,
+                    help="BEV camera pitch in degrees (0..90, default 60)")
     ps.set_defaults(fn=synthesis)
 
     pi = sub.add_parser("inversion")
