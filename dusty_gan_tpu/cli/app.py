@@ -59,13 +59,23 @@ def synthesis_ui(model_path: str, config_path: str):
         latent_type = st.selectbox("latent type", ["random", "lerp", "slerp"])
         seed = int(st.number_input("seed", value=0))
         video = st.checkbox("write interpolation video", value=False)
+    with st.sidebar.expander("view options", expanded=False):
+        # BEV camera controls matching the reference app (demo.py:188-229)
+        zoom = st.slider("zoom", min_value=1, max_value=120, value=60, step=1,
+                         format="%dm")
+        yaw = st.slider("yaw", min_value=-180, max_value=180, value=-45,
+                        step=1, format="%d°")
+        pitch = st.slider("pitch", min_value=0, max_value=90, value=60,
+                          step=1, format="%d°")
     if st.button("run"):
         out = osp.join(_workdir(), "synthesis")
         with st.spinner("generating…"):
             demo_cli.main(
                 ["synthesis", "--model-path", model_path, "--config-path", config_path,
                  "--num-samples", str(num_samples), "--latent-type", latent_type,
-                 "--seed", str(seed), "--out", out] + (["--video"] if video else [])
+                 "--seed", str(seed), "--out", out,
+                 "--view-zoom", str(zoom), "--view-yaw", str(yaw),
+                 "--view-pitch", str(pitch)] + (["--video"] if video else [])
             )
         _show_pngs(out, f"{latent_type} synthesis, {num_samples} samples")
         if video:

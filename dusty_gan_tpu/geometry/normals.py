@@ -74,3 +74,17 @@ def xyz_to_normal(xyz, mode: str = "closest"):
     normals = -estimate_surface_normal(xyz, mode=mode)
     normals = jnp.nan_to_num(normals, nan=0.0, posinf=0.0, neginf=0.0)
     return jnp.clip((normals + 1.0) / 2.0, 0.0, 1.0)
+
+
+def euler_angles_to_rotation_matrix(theta):
+    """R = Rz(theta[2]) @ Ry(theta[1]) @ Rx(theta[0]) — the demo camera's
+    rotation convention (reference utils/geometry.py:5-35; driven by the
+    BEV view sliders, demo.py:188-229)."""
+    theta = jnp.asarray(theta, jnp.float32)
+    cx, sx = jnp.cos(theta[0]), jnp.sin(theta[0])
+    cy, sy = jnp.cos(theta[1]), jnp.sin(theta[1])
+    cz, sz = jnp.cos(theta[2]), jnp.sin(theta[2])
+    r_x = jnp.asarray([[1, 0, 0], [0, cx, -sx], [0, sx, cx]], jnp.float32)
+    r_y = jnp.asarray([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], jnp.float32)
+    r_z = jnp.asarray([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]], jnp.float32)
+    return r_z @ r_y @ r_x

@@ -232,3 +232,30 @@ class TestRasterizer:
         bev = render_point_clouds(xyz, colors, L=64, t=jnp.asarray([0.0, 0.0, 0.5]))
         assert bev.shape == (2, 64, 64, 3)
         assert np.isfinite(np.asarray(bev)).all()
+
+
+class TestEulerRotation:
+    def test_matches_reference(self, torch):
+        from tests.conftest import load_reference_module
+        from dusty_gan_tpu.geometry.normals import euler_angles_to_rotation_matrix
+
+        ref_geo = load_reference_module("utils/geometry.py", "ref_geometry")
+        rng = np.random.RandomState(0)
+        for _ in range(5):
+            theta = rng.uniform(-np.pi, np.pi, 3).astype(np.float32)
+            ref = ref_geo.euler_angles_to_rotation_matrix(torch.from_numpy(theta)).numpy()
+            got = np.asarray(euler_angles_to_rotation_matrix(theta))
+            np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    def test_demo_camera_defaults(self):
+        from dusty_gan_tpu.cli.demo import _camera
+
+        R, t = _camera(None, None, None)  # legacy fixed view
+        assert R is None
+        np.testing.assert_allclose(t, [0.0, 0.0, 0.5])
+        R, t = _camera(120.0, None, None)  # partial spec fills slider defaults
+        assert R.shape == (3, 3)
+        np.testing.assert_allclose(t, [0.1, 0.0, 1.0], rtol=1e-6)
+        # rotation matrices are orthonormal
+        np.testing.assert_allclose(np.asarray(R) @ np.asarray(R).T, np.eye(3),
+                                   atol=1e-5)
