@@ -171,24 +171,57 @@ def main():
     assert float(d1.sum()) > 0.0  # value fetch: force execution
     chamfer_path = chamfer.LAST_DISPATCH
 
-    # eval-path headline: pairwise symmetric CD throughput at the synthesis
-    # protocol's cloud size AND batch (2048 FPS points, 512-pair blocks —
-    # evaluate_synthesis.py:31-32; smaller batches under-amortize the
-    # per-dispatch tunnel overhead and underreport the kernel)
+    # eval-path headline: pairwise symmetric CD throughput through the
+    # SHIPPING block path (cov_mmd_1nna._pairwise_cd_blocked's impl): one
+    # dispatch per (16 x 512) block of 2048-pt cloud pairs — the synthesis
+    # protocol's shapes (evaluate_synthesis.py:31-32).  Probed eagerly so
+    # a Pallas compile failure downgrades to the XLA block path instead of
+    # crashing the bench (ADVICE r2).
+    from dusty_gan_tpu.metrics.cov_mmd_1nna import _ROW_BLOCK, _make_cd_block_impl
+
     rng = np.random.RandomState(3)
-    ca = jnp.asarray(rng.randn(512, 2048, 3).astype(np.float32) * 0.3)
-    cb = jnp.asarray(rng.randn(512, 2048, 3).astype(np.float32) * 0.3)
-    fcd = jax.jit(chamfer.compute_cd)
-    d = fcd(ca, cb)
-    assert np.isfinite(float(d.sum()))
+    rows = jnp.asarray(rng.randn(_ROW_BLOCK, 2048, 3).astype(np.float32) * 0.3)
+    cols = jnp.asarray(rng.randn(512, 2048, 3).astype(np.float32) * 0.3)
+    use_pallas = chamfer.LAST_DISPATCH == "pallas"
+    try:
+        fcd = _make_cd_block_impl(use_pallas, None)
+        assert np.isfinite(float(jnp.sum(fcd(rows, cols))))
+    except Exception as e:
+        print(f"bench: pallas CD block failed ({type(e).__name__}); "
+              f"falling back to XLA block path", file=sys.stderr)
+        use_pallas = False
+        chamfer_path = "xla"
+        fcd = _make_cd_block_impl(False, None)
+        assert np.isfinite(float(jnp.sum(fcd(rows, cols))))
     cd_dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(5):
-            d = fcd(ca, cb)
-        assert np.isfinite(float(d.sum()))
-        cd_dt = min(cd_dt, (time.perf_counter() - t0) / 5)
-    cd_pairs_per_sec = round(512 / cd_dt, 1)
+        for _ in range(4):
+            d = fcd(rows, cols)
+        assert np.isfinite(float(jnp.sum(d)))
+        cd_dt = min(cd_dt, (time.perf_counter() - t0) / 4)
+    cd_pairs_per_sec = round(_ROW_BLOCK * 512 / cd_dt, 1)
+
+    # EMD eval path (Pallas streaming-auction blocks; TPU-only kernel)
+    emd_pairs_per_sec = None
+    if use_pallas:
+        try:
+            from dusty_gan_tpu.metrics.emd_pallas import emd_block_pallas
+
+            er = jnp.asarray(rng.randn(8, 2048, 3).astype(np.float32) * 0.3)
+            ec = jnp.asarray(rng.randn(64, 2048, 3).astype(np.float32) * 0.3)
+            assert np.isfinite(float(jnp.sum(emd_block_pallas(er, ec))))
+            emd_dt = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(4):
+                    e = emd_block_pallas(er, ec)
+                assert np.isfinite(float(jnp.sum(e)))
+                emd_dt = min(emd_dt, (time.perf_counter() - t0) / 4)
+            emd_pairs_per_sec = round(8 * 64 / emd_dt, 1)
+        except Exception as e:
+            print(f"bench: pallas EMD block failed ({type(e).__name__})",
+                  file=sys.stderr)
 
     flagship = variants["dusty2/dcgan_eqlr"]
     scans_per_sec = flagship["scans_per_sec"]
@@ -203,6 +236,7 @@ def main():
         "device": dev.device_kind,
         "chamfer_path": chamfer_path,
         "cd_pairs_per_sec": cd_pairs_per_sec,
+        "emd_pairs_per_sec": emd_pairs_per_sec,
         "variants": variants,
     }))
 

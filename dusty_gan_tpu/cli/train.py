@@ -58,6 +58,13 @@ def main(argv=None):
             jax.config.update("jax_cpu_collectives_implementation", "gloo")
         kw = {}
         if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            trio = ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID")
+            missing = [k for k in trio if not os.environ.get(k)]
+            if missing:
+                raise SystemExit(
+                    "multihost=1 with an explicit rendezvous needs all three of "
+                    f"{', '.join(trio)}; missing: {', '.join(missing)}"
+                )
             kw = dict(
                 coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
                 num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
