@@ -82,11 +82,53 @@ def match_cost(xyz1, xyz2, match):
     return t1 + t2 - 2.0 * t3
 
 
+@jax.custom_vjp
+def _emd_pallas_diff(xyz1, xyz2):
+    """Pallas-path EMD with the CUDA kernel's analytic gradients
+    (matchcostgrad1/2, earth_mover_distance.cu:309-388): the kernel emits
+    O(N) auction residues (R, C, V, U) and both gradients are elementwise
+    in them — 2(R x - V) and 2(C y - U)."""
+    from dusty_gan_tpu.metrics.emd_pallas import emd_pair_pallas
+
+    cost, *_ = emd_pair_pallas(xyz1, xyz2)
+    return cost
+
+
+def _emd_pallas_fwd(xyz1, xyz2):
+    from dusty_gan_tpu.metrics.emd_pallas import emd_pair_pallas
+
+    cost, r, c, v, u = emd_pair_pallas(xyz1, xyz2)
+    return cost, (xyz1, xyz2, r, c, v, u)
+
+
+def _emd_pallas_bwd(res, g):
+    xyz1, xyz2, r, c, v, u = res
+    g = g[:, None, None]
+    gx = 2.0 * g * (r[..., None] * xyz1 - v)
+    gy = 2.0 * g * (c[..., None] * xyz2 - u)
+    return gx, gy
+
+
+_emd_pallas_diff.defvjp(_emd_pallas_fwd, _emd_pallas_bwd)
+
+
+def _use_pallas_emd(n: int, m: int) -> bool:
+    from dusty_gan_tpu.metrics.chamfer import _use_pallas
+    from dusty_gan_tpu.metrics.emd_pallas import block_shapes_supported
+
+    return _use_pallas() and block_shapes_supported(n, m)
+
+
 def earth_mover_distance(xyz1, xyz2, max_batch: int = 64):
     """(B,N,3),(B,M,3) -> (B,) approximate EMD (earth_mover_distance.py:24-37).
     Differentiable w.r.t. both clouds (match held constant, as in the
-    reference backward).  ``max_batch`` bounds the (b, N, M) working set."""
+    reference backward).  On TPU with lane-aligned clouds this routes to
+    the Pallas streaming kernel (metrics/emd_pallas.py, ~5.7x the dense
+    path, custom_vjp analytic gradients); elsewhere the dense XLA rounds
+    run with ``max_batch`` bounding the (b, N, M) working set."""
     b = xyz1.shape[0]
+    if _use_pallas_emd(xyz1.shape[1], xyz2.shape[1]):
+        return _emd_pallas_diff(xyz1, xyz2)
     if b > max_batch:
         outs = []
         for i in range(0, b, max_batch):

@@ -54,12 +54,12 @@ def block_shapes_supported(n: int, m: int) -> bool:
     return n % 128 == 0 and m % 128 == 0 and n <= 8192 and m <= 2048
 
 
-def _emd_block_kernel(x_ref, y_ref, out_ref,
-                      rl_col, ratio_l_col, r_col, v0, v1, v2,
-                      *, n: int, m: int, tn: int):
-    """x: (1, 3, N), y: (1, 3, M) -> out (R, C) resident block; scratch:
-    six (N, 1) f32 column buffers (layouts: n-in-sublane tiles against
-    lane-major y rows, exactly like the chamfer kernels).
+def _run_auction(x_ref, y_ref, rl_col, ratio_l_col, r_col, v0, v1, v2,
+                 n: int, m: int, tn: int, collect_u: bool):
+    """The annealed auction over one (x, y) pair; x: (1, 3, N), y:
+    (1, 3, M); scratch: six (N, 1) f32 column buffers (layouts:
+    n-in-sublane tiles against lane-major y rows, exactly like the
+    chamfer kernels).
 
     Sweep structure (10 tile sweeps total, vs 30 for the naive
     pass-per-barrier schedule):
@@ -68,7 +68,12 @@ def _emd_block_kernel(x_ref, y_ref, out_ref,
     - C of round i-1 fuses into the A+B sweep of round i, sharing the
       distance tile (two exps, one d);
     - round 9 has level = 0 -> w = 1, collapsing its A+B and its C to
-      O(N + M) vector math with no tile sweep at all."""
+      O(N + M) vector math with no tile sweep at all.
+
+    Leaves R[n] (match row mass) in ``r_col`` and V[n,c] = sum_m match *
+    y[m,c] in ``v0..v2``; returns (cost, c_row = match col mass, and —
+    when ``collect_u`` — U[m,c] = sum_n match * x[n,c], the residue the
+    analytic backward needs for grads w.r.t. y (cu:309-388))."""
     if n >= m:
         multi_l, multi_r = 1.0, float(n // m)
     else:
@@ -101,13 +106,28 @@ def _emd_block_kernel(x_ref, y_ref, out_ref,
             -jnp.exp2(2.0 * (jnp.float32(7) - i.astype(jnp.float32))),
         )
 
+    def zeros_row():
+        z = jnp.zeros((1, m), jnp.float32)
+        return (z, z, z, z) if collect_u else (z,)
+
     def ab_tile(row, d, level, remain_r):
-        """Passes A+B for one tile: write ratio_l, return sumr_raw part."""
+        """Passes A+B for one tile: write ratio_l, return the sumr_raw
+        part (plus, when collecting U, the x-weighted column reductions
+        sum_n w*ratio_l*x_c this round's U update needs)."""
         w = jnp.exp(level * d)
         suml = 1e-9 + jnp.sum(w * remain_r, axis=1, keepdims=True)
         rl_chunk = rl_col[row, :] / suml
         ratio_l_col[row, :] = rl_chunk
-        return jnp.sum(w * rl_chunk, axis=0, keepdims=True)
+        wl = w * rl_chunk
+        parts = (jnp.sum(wl, axis=0, keepdims=True),)
+        if collect_u:
+            x0, x1, x2 = x_chunk(row)
+            parts += (
+                jnp.sum(wl * x0, axis=0, keepdims=True),
+                jnp.sum(wl * x1, axis=0, keepdims=True),
+                jnp.sum(wl * x2, axis=0, keepdims=True),
+            )
+        return parts
 
     def c_tile(row, d, level_prev, ratio_r_prev):
         """Pass C of the previous round for one tile: accumulate match
@@ -136,21 +156,32 @@ def _emd_block_kernel(x_ref, y_ref, out_ref,
     v1[...] = jnp.zeros((n, 1), jnp.float32)
     v2[...] = jnp.zeros((n, 1), jnp.float32)
     remain_r0 = jnp.full((1, m), multi_r, jnp.float32)
+    u_zero = jnp.zeros((1, m), jnp.float32)
+    u_acc0 = (u_zero, u_zero, u_zero)
+
+    def add_parts(acc, parts):
+        return tuple(a + p for a, p in zip(acc, parts))
+
+    def u_update(u_acc, ratio_r, sx):
+        if not collect_u:
+            return u_acc
+        return tuple(u + ratio_r * s for u, s in zip(u_acc, sx))
 
     # round 0: A+B only
     lvl0 = level_of(jnp.int32(0))
 
     def sweep0(t, acc):
         row = pl.ds(t * tn, tn)
-        return acc + ab_tile(row, d_tile(row), lvl0, remain_r0)
+        return add_parts(acc, ab_tile(row, d_tile(row), lvl0, remain_r0))
 
-    sumr_raw = jax.lax.fori_loop(0, n_tiles, sweep0, jnp.zeros((1, m), jnp.float32))
-    ratio_r, remain_r, c_incr = post_ab(sumr_raw, remain_r0)
+    parts = jax.lax.fori_loop(0, n_tiles, sweep0, zeros_row())
+    ratio_r, remain_r, c_incr = post_ab(parts[0], remain_r0)
     c_row = c_incr
+    u_acc = u_update(u_acc0, ratio_r, parts[1:])
 
     # rounds 1..8: C(i-1) + A+B(i) fused, one d per tile
     def round_body(i, carry):
-        remain_r, c_row, ratio_r_prev = carry
+        remain_r, c_row, ratio_r_prev, u_acc = carry
         level_prev = level_of(i - 1)
         level = level_of(i)
 
@@ -158,16 +189,15 @@ def _emd_block_kernel(x_ref, y_ref, out_ref,
             row = pl.ds(t * tn, tn)
             d = d_tile(row)
             c_tile(row, d, level_prev, ratio_r_prev)
-            return acc + ab_tile(row, d, level, remain_r)
+            return add_parts(acc, ab_tile(row, d, level, remain_r))
 
-        sumr_raw = jax.lax.fori_loop(
-            0, n_tiles, sweep, jnp.zeros((1, m), jnp.float32)
-        )
-        ratio_r, new_remain_r, c_incr = post_ab(sumr_raw, remain_r)
-        return new_remain_r, c_row + c_incr, ratio_r
+        parts = jax.lax.fori_loop(0, n_tiles, sweep, zeros_row())
+        ratio_r, new_remain_r, c_incr = post_ab(parts[0], remain_r)
+        u_acc = u_update(u_acc, ratio_r, parts[1:])
+        return new_remain_r, c_row + c_incr, ratio_r, u_acc
 
-    remain_r, c_row, ratio_r = jax.lax.fori_loop(
-        1, 9, round_body, (remain_r, c_row, ratio_r)
+    remain_r, c_row, ratio_r, u_acc = jax.lax.fori_loop(
+        1, 9, round_body, (remain_r, c_row, ratio_r, u_acc)
     )
 
     # standalone C sweep for round 8
@@ -191,6 +221,20 @@ def _emd_block_kernel(x_ref, y_ref, out_ref,
     v0[...] += ratio_l9 * jnp.sum(ratio_r9 * y0)
     v1[...] += ratio_l9 * jnp.sum(ratio_r9 * y1)
     v2[...] += ratio_l9 * jnp.sum(ratio_r9 * y2)
+    if collect_u:
+        # sum_n ratio_l9[n] * x[n,c]: one cheap pass over the x columns
+        def rl9_x(t, acc):
+            row = pl.ds(t * tn, tn)
+            x0, x1, x2 = x_chunk(row)
+            rl = rl_col[row, :] / suml9  # == ratio_l9 chunk (rl_col untouched in round 9)
+            return (acc[0] + jnp.sum(rl * x0), acc[1] + jnp.sum(rl * x1),
+                    acc[2] + jnp.sum(rl * x2))
+
+        sx9 = jax.lax.fori_loop(
+            0, n_tiles, rl9_x,
+            (jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0)),
+        )
+        u_acc = tuple(u + ratio_r9 * s for u, s in zip(u_acc, sx9))
 
     # cost = sum x^2 R + sum y^2 C - 2 sum_c x_c . V_c   (== match_cost)
     def cost_tile(t, acc):
@@ -203,7 +247,18 @@ def _emd_block_kernel(x_ref, y_ref, out_ref,
 
     cost = jax.lax.fori_loop(0, n_tiles, cost_tile, jnp.float32(0.0))
     cost += jnp.sum((y0 * y0 + y1 * y1 + y2 * y2) * c_row)
+    return cost, c_row, (u_acc if collect_u else None)
 
+
+def _emd_block_kernel(x_ref, y_ref, out_ref,
+                      rl_col, ratio_l_col, r_col, v0, v1, v2,
+                      *, n: int, m: int, tn: int):
+    """Eval-only block variant: (R, C) resident output, masked merge (see
+    _run_auction for the algorithm)."""
+    cost, _, _ = _run_auction(
+        x_ref, y_ref, rl_col, ratio_l_col, r_col, v0, v1, v2, n, m, tn,
+        collect_u=False,
+    )
     i = pl.program_id(0)
     j = pl.program_id(1)
     r, c = out_ref.shape
@@ -211,6 +266,26 @@ def _emd_block_kernel(x_ref, y_ref, out_ref,
         jax.lax.broadcasted_iota(jnp.int32, (r, c), 1) == j
     )
     out_ref[...] = jnp.where(hit, cost, out_ref[...])
+
+
+def _emd_pair_kernel(x_ref, y_ref,
+                     r_ref, c_ref, v0_ref, v1_ref, v2_ref,
+                     u0_ref, u1_ref, u2_ref,
+                     rl_col, ratio_l_col, r_col, v0, v1, v2,
+                     *, n: int, m: int, tn: int):
+    """Differentiable 1:1 batched variant (grid (B,)): emits the O(N)
+    auction residues — R, C, V, U — from which the cost AND both analytic
+    gradients are pure elementwise XLA (matchcostgrad1/2, cu:309-388)."""
+    _, c_row, u_acc = _run_auction(
+        x_ref, y_ref, rl_col, ratio_l_col, r_col, v0, v1, v2, n, m, tn,
+        collect_u=True,
+    )
+    r_ref[0] = r_col[...]
+    v0_ref[0] = v0[...]
+    v1_ref[0] = v1[...]
+    v2_ref[0] = v2[...]
+    c_ref[0] = c_row
+    u0_ref[0], u1_ref[0], u2_ref[0] = u_acc
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -242,3 +317,52 @@ def emd_block_pallas(rows, cols, interpret: bool = False):
         interpret=interpret,
     )(xt, yt)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def emd_pair_pallas(x, y, interpret: bool = False):
+    """Differentiable-path forward: (B, N, 3), (B, M, 3) 1:1 pairs ->
+    (cost (B,), R (B,N), C (B,M), V (B,N,3), U (B,M,3)).  The cost and
+    both analytic gradients (2(R x - V), 2(C y - U)) are elementwise in
+    the emitted residues, so the O(N*M) auction state never leaves the
+    kernel."""
+    b, n, _ = x.shape
+    m = y.shape[1]
+    assert block_shapes_supported(n, m), (n, m)
+    # smaller tiles than the eval kernel: the U accumulators + residue
+    # outputs add live buffers, and (512, 2048) tiles overflow the 16 MB
+    # scoped-VMEM limit by ~0.5 MB with them
+    tn = min(_tn_for_emd(n), 256)
+    xt = jnp.transpose(x.astype(jnp.float32), (0, 2, 1))
+    yt = jnp.transpose(y.astype(jnp.float32), (0, 2, 1))
+
+    n_col = lambda: jax.ShapeDtypeStruct((b, n, 1), jnp.float32)
+    m_row = lambda: jax.ShapeDtypeStruct((b, 1, m), jnp.float32)
+    n_spec = pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    m_spec = pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_emd_pair_kernel, n=n, m=m, tn=tn),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 3, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[n_spec, m_spec, n_spec, n_spec, n_spec,
+                   m_spec, m_spec, m_spec],
+        out_shape=[n_col(), m_row(), n_col(), n_col(), n_col(),
+                   m_row(), m_row(), m_row()],
+        scratch_shapes=[pltpu.VMEM((n, 1), jnp.float32) for _ in range(6)],
+        interpret=interpret,
+    )(xt, yt)
+    r = outs[0][..., 0]
+    c = outs[1][:, 0, :]
+    v = jnp.stack([o[..., 0] for o in outs[2:5]], axis=-1)
+    u = jnp.stack([o[:, 0, :] for o in outs[5:8]], axis=-1)
+    xf = x.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    cost = (
+        jnp.einsum("bn,bn->b", jnp.sum(xf * xf, -1), r)
+        + jnp.einsum("bm,bm->b", jnp.sum(yf * yf, -1), c)
+        - 2.0 * jnp.einsum("bnc,bnc->b", xf, v)
+    )
+    return cost, r, c, v, u

@@ -61,3 +61,51 @@ class TestPairwiseEmdDispatch:
         assert m.shape == (5, 5)
         np.testing.assert_allclose(m, m.T, rtol=1e-5, atol=1e-6)
         assert (np.diag(m) < 5e-3).all()
+
+
+class TestDifferentiableEmdKernel:
+    def test_residues_match_dense_match_matrix(self):
+        """R/C/V/U emitted by the pair kernel == the corresponding
+        contractions of the dense approx_match matrix."""
+        from dusty_gan_tpu.metrics.emd import approx_match
+        from dusty_gan_tpu.metrics.emd_pallas import emd_pair_pallas
+
+        rng = np.random.RandomState(4)
+        x = jnp.asarray(rng.uniform(-1, 1, (2, 128, 3)).astype(np.float32))
+        y = jnp.asarray(rng.uniform(-1, 1, (2, 128, 3)).astype(np.float32))
+        cost, r, c, v, u = emd_pair_pallas(x, y, interpret=True)
+        match = np.asarray(approx_match(x, y))
+        np.testing.assert_allclose(np.asarray(r), match.sum(2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(c), match.sum(1), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(v), np.einsum("bnm,bmc->bnc", match, np.asarray(y)),
+            atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(u), np.einsum("bnm,bnc->bmc", match, np.asarray(x)),
+            atol=1e-4)
+
+    def test_gradients_match_dense_path(self):
+        """custom_vjp gradients from the kernel residues == autodiff of
+        the dense stop_gradient(match) cost (both equal the CUDA
+        matchcostgrad semantics)."""
+        import jax
+
+        from dusty_gan_tpu.metrics import emd as emd_mod
+        from dusty_gan_tpu.metrics.emd_pallas import emd_pair_pallas
+
+        rng = np.random.RandomState(5)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 128, 3)).astype(np.float32))
+        y = jnp.asarray(rng.uniform(-1, 1, (1, 128, 3)).astype(np.float32))
+
+        gx_dense, gy_dense = jax.grad(
+            lambda a, b: jnp.sum(emd_mod.match_cost(
+                a, b, jax.lax.stop_gradient(emd_mod.approx_match(a, b)))),
+            argnums=(0, 1),
+        )(x, y)
+
+        # kernel-residue analytic gradients (what _emd_pallas_diff's bwd does)
+        cost, r, c, v, u = emd_pair_pallas(x, y, interpret=True)
+        gx_k = 2.0 * (np.asarray(r)[..., None] * np.asarray(x) - np.asarray(v))
+        gy_k = 2.0 * (np.asarray(c)[..., None] * np.asarray(y) - np.asarray(u))
+        np.testing.assert_allclose(gx_k, np.asarray(gx_dense), atol=2e-4)
+        np.testing.assert_allclose(gy_k, np.asarray(gy_dense), atol=2e-4)
