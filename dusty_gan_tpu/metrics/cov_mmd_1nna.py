@@ -32,12 +32,14 @@ _ROW_BLOCK = 16
 
 def _cd_block_xla(rows, cols):
     """(R,N,3),(C,M,3) -> (R,C) CD block without Pallas (CPU tests, or
-    kernel-compile fallback)."""
+    kernel-compile fallback).  Sequential over rows (lax.map, not vmap):
+    each row already materializes an O(C * N * chunk) distance tile
+    through _nn_chunked; vmapping rows multiplies that by R."""
 
     def one(row):
         return compute_cd(jnp.broadcast_to(row, cols.shape), cols)
 
-    return jax.vmap(one)(rows)
+    return jax.lax.map(one, rows)
 
 
 def _make_cd_block_impl(use_pallas: bool, mesh):
@@ -94,12 +96,23 @@ def _blocked_matrix(pcs_1, pcs_2, R: int, C: int, impl, symmetric: bool,
     return out
 
 
+def _block_dims(b1: int, b2: int, col_chunk: int, n_dev: int):
+    """(rows, cols) per dispatch: up to _ROW_BLOCK rows per device and
+    ``col_chunk`` columns, clamped to the matrix so small inputs (e.g.
+    the 8-sample training-validation suite) don't pad up to protocol
+    scale — the XLA fallback materializes O(R * C * N * chunk) distance
+    tiles and unclamped padding OOMed a 64 GB host on an 8x8 matrix."""
+    rows = n_dev * max(1, min(_ROW_BLOCK, -(-b1 // n_dev)))
+    cols = max(1, min(int(col_chunk), b2))
+    return rows, cols
+
+
 def _pairwise_cd_blocked(pcs_1, pcs_2, col_chunk: int, mesh=None,
                          verbose: bool = False) -> np.ndarray:
     """Block-dispatched (B1,B2) symmetric-CD matrix; rows sharded over the
     mesh when given."""
     n_dev = mesh.devices.size if mesh is not None else 1
-    R, C = _ROW_BLOCK * n_dev, int(col_chunk)
+    R, C = _block_dims(pcs_1.shape[0], pcs_2.shape[0], col_chunk, n_dev)
     symmetric = pcs_1 is pcs_2
 
     use_pallas = _chamfer._use_pallas()
@@ -160,6 +173,7 @@ def _pairwise_emd(pcs_1, pcs_2, batch_size: int, mesh=None,
     n, m = pcs_1.shape[1], pcs_2.shape[1]
     if _chamfer._use_pallas() and block_shapes_supported(n, m):
         n_dev = mesh.devices.size if mesh is not None else 1
+        R, C = _block_dims(pcs_1.shape[0], pcs_2.shape[0], batch_size, n_dev)
 
         def block(rows, cols):
             return emd_block_pallas(rows, cols) / float(n)  # compute_emd norm
@@ -172,8 +186,7 @@ def _pairwise_emd(pcs_1, pcs_2, batch_size: int, mesh=None,
             )
         try:
             return _blocked_matrix(
-                pcs_1, pcs_2, _ROW_BLOCK * n_dev, int(batch_size), impl,
-                pcs_1 is pcs_2, verbose, "emd",
+                pcs_1, pcs_2, R, C, impl, pcs_1 is pcs_2, verbose, "emd",
             )
         except Exception as e:
             print(
