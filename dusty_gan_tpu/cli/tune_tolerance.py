@@ -38,6 +38,10 @@ def main(argv=None):
     parser.add_argument("--cd-batch", type=int, default=512)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--algo", choices=["tpe", "random"], default="tpe")
+    parser.add_argument("--trial-batch", type=int, default=0,
+                        help="tolerances evaluated per round (0 = mesh width); "
+                             "the 2D->3D projection vmaps over the batch and "
+                             "the CD matrices shard over the mesh")
     args = parser.parse_args(argv)
 
     import jax
@@ -46,9 +50,12 @@ def main(argv=None):
     from dusty_gan_tpu.data.datasets import define_dataset
     from dusty_gan_tpu.data.loader import Loader
     from dusty_gan_tpu.geometry.lidar import sigmoid_to_tanh, tanh_to_sigmoid
-    from dusty_gan_tpu.metrics.cov_mmd_1nna import compute_cov_mmd_1nna
+    from dusty_gan_tpu.metrics.cov_mmd_1nna import (
+        _compute_cov_mmd, _compute_nna, _pairwise_distance,
+    )
     from dusty_gan_tpu.metrics.fps import downsample_point_clouds
     from dusty_gan_tpu.metrics.jsd import compute_jsd
+    from dusty_gan_tpu.parallel.mesh import create_mesh
     from dusty_gan_tpu.utils.setup import make_eval_generator, setup
 
     cfg, G, params, lidar, fixed_noise = setup(
@@ -88,50 +95,85 @@ def main(argv=None):
         fake_2d.append(np.asarray(gen(z)["depth"]))
     fake_2d = jnp.asarray(np.concatenate(fake_2d)[:n_test])
 
-    def objective(tol: float) -> dict:
-        fake_3d = to_pts(fake_2d, tol)
-        scores = {}
-        scores["jsd"] = compute_jsd(fake_3d / 2.0, real_3d / 2.0)
-        scores.update(compute_cov_mmd_1nna(fake_3d, real_3d, args.cd_batch, ("cd",)))
-        score = (
-            1.0 * scores["1-nn-accuracy-cd"]
-            + 100.0 * scores["mmd-cd"]
-            - 1.0 * scores["cov-cd"]
-            + 10.0 * scores["jsd"]
-        )
-        return {"score": float(score), **{k: float(v) for k, v in scores.items()}}
+    # trial parallelism (the reference runs 100 concurrent Ray trials,
+    # tune_tolerance.py:161-184): trials are evaluated in mesh-width
+    # batches — the tol-dependent 2D->3D projection vmaps over the batch,
+    # the real-real CD matrix is tol-INDEPENDENT and computed once, and
+    # the per-tol rg/gg matrices shard their rows over the mesh.
+    mesh = create_mesh()
+    trial_batch = args.trial_batch if args.trial_batch > 0 else mesh.devices.size
+
+    to_pts_tols = jax.jit(jax.vmap(lambda tol: to_pts(fake_2d, tol)))
+    m_rr = _pairwise_distance(real_3d, real_3d, args.cd_batch, ("cd",),
+                              mesh=mesh)["cd"]
+
+    def objective_batch(tols) -> list:
+        fake_3d_t = to_pts_tols(jnp.asarray(tols, jnp.float32))
+        outs = []
+        for idx in range(len(tols)):
+            fake_3d = fake_3d_t[idx]
+            scores = {"jsd": compute_jsd(fake_3d / 2.0, real_3d / 2.0)}
+            m_rg = _pairwise_distance(real_3d, fake_3d, args.cd_batch,
+                                      ("cd",), mesh=mesh)["cd"]
+            m_gg = _pairwise_distance(fake_3d, fake_3d, args.cd_batch,
+                                      ("cd",), mesh=mesh)["cd"]
+            for k, v in _compute_cov_mmd(m_rg).items():
+                scores[f"{k}-cd"] = v
+            for k, v in _compute_nna(m_rr, m_rg, m_gg).items():
+                scores[f"1-nn-{k}-cd"] = v
+            score = (
+                1.0 * scores["1-nn-accuracy-cd"]
+                + 100.0 * scores["mmd-cd"]
+                - 1.0 * scores["cov-cd"]
+                + 10.0 * scores["jsd"]
+            )
+            outs.append({"score": float(score),
+                         **{k: float(v) for k, v in scores.items()}})
+        return outs
 
     trials = []
     best = None
 
-    def record(tol: float) -> float:
+    def record_batch(tols) -> list:
         nonlocal best
-        r = {"tol": float(tol), **objective(float(tol))}
-        trials.append(r)
-        if best is None or r["score"] < best["score"]:
-            best = r
-        print(f"trial {len(trials)}/{args.num_samples}: tol={tol:.5f} "
-              f"score={r['score']:.4f} (best {best['tol']:.5f} @ {best['score']:.4f})")
-        return r["score"]
+        rs = objective_batch([float(t) for t in tols])
+        ys = []
+        for tol, r in zip(tols, rs):
+            r = {"tol": float(tol), **r}
+            trials.append(r)
+            if best is None or r["score"] < best["score"]:
+                best = r
+            print(f"trial {len(trials)}/{args.num_samples}: tol={tol:.5f} "
+                  f"score={r['score']:.4f} (best {best['tol']:.5f} @ "
+                  f"{best['score']:.4f})")
+            ys.append(r["score"])
+        return ys
 
     if args.algo == "tpe":
-        from dusty_gan_tpu.utils.tpe import tpe_minimize
+        from dusty_gan_tpu.utils.tpe import tpe_minimize_batched
 
-        tpe_minimize(
-            record, args.tol_min, args.tol_max,
+        tpe_minimize_batched(
+            record_batch, args.tol_min, args.tol_max,
             num_samples=args.num_samples, seed=args.seed,
             n_startup=max(5, args.num_samples // 5), log_space=True,
+            batch=trial_batch,
         )
     else:
         rng = np.random.RandomState(args.seed)
         lo, hi = np.log(args.tol_min), np.log(args.tol_max)
         n_explore = max(1, args.num_samples * 3 // 4)
-        for tol in np.exp(rng.uniform(lo, hi, n_explore)):
-            record(float(tol))
+        explore = [float(t) for t in np.exp(rng.uniform(lo, hi, n_explore))]
+        for i in range(0, n_explore, trial_batch):
+            record_batch(explore[i : i + trial_batch])
         # refinement around the incumbent
-        for _ in range(args.num_samples - n_explore):
-            tol = float(np.exp(rng.normal(np.log(best["tol"]), 0.15)))
-            record(float(np.clip(tol, args.tol_min, args.tol_max)))
+        while len(trials) < args.num_samples:
+            q = min(trial_batch, args.num_samples - len(trials))
+            tols = [
+                float(np.clip(np.exp(rng.normal(np.log(best["tol"]), 0.15)),
+                              args.tol_min, args.tol_max))
+                for _ in range(q)
+            ]
+            record_batch(tols)
 
     print("best:", best)
     os.makedirs(args.save_dir_path, exist_ok=True)

@@ -109,3 +109,56 @@ def tpe_minimize(
             callback(i, x, y, to_x(ts[b]))
     b = int(np.argmin(ys))
     return to_x(ts[b]), float(ys[b]), trials
+
+
+def tpe_minimize_batched(
+    objective_batch: Callable[[List[float]], List[float]],
+    lo: float,
+    hi: float,
+    num_samples: int = 100,
+    seed: int = 0,
+    n_startup: int = 20,
+    gamma: float = 0.25,
+    n_candidates: int = 64,
+    log_space: bool = True,
+    batch: int = 1,
+) -> Tuple[float, float, List[Dict]]:
+    """q-parallel TPE: per round propose ``batch`` points (startup: iid
+    uniforms; after: the top-q EI candidates, a standard q-EI
+    approximation) and evaluate them with ONE ``objective_batch(xs)``
+    call — the evaluator can then vectorize the batch over a device mesh
+    (the reference runs trials concurrently under Ray,
+    tune_tolerance.py:161-184).  ``batch=1`` degenerates to sequential
+    TPE with the same proposal rule."""
+    tlo, thi = (np.log(lo), np.log(hi)) if log_space else (lo, hi)
+    to_x = (lambda t: float(np.exp(t))) if log_space else float
+
+    rng = np.random.RandomState(seed)
+    ts: List[float] = []
+    ys: List[float] = []
+    trials: List[Dict] = []
+    while len(trials) < num_samples:
+        q = min(batch, num_samples - len(trials))
+        if len(ts) < n_startup:
+            props = [float(rng.uniform(tlo, thi)) for _ in range(q)]
+        else:
+            order = np.argsort(ys)
+            n_below = max(1, int(np.ceil(gamma * len(ys))))
+            below = np.asarray(ts)[order[:n_below]]
+            above = np.asarray(ts)[order[n_below:]]
+            l_pts, l_bw = _adaptive_parzen(below, tlo, thi)
+            g_pts, g_bw = _adaptive_parzen(above, tlo, thi)
+            cands = _sample_mixture(rng, max(n_candidates, 4 * q), l_pts, l_bw,
+                                    tlo, thi)
+            ei = _log_mixture_pdf(cands, l_pts, l_bw, tlo, thi) - _log_mixture_pdf(
+                cands, g_pts, g_bw, tlo, thi
+            )
+            props = [float(c) for c in cands[np.argsort(-ei)[:q]]]
+        xs = [to_x(t) for t in props]
+        ys_new = [float(y) for y in objective_batch(xs)]
+        assert len(ys_new) == len(xs)
+        ts.extend(props)
+        ys.extend(ys_new)
+        trials.extend({"x": x, "y": y} for x, y in zip(xs, ys_new))
+    b = int(np.argmin(ys))
+    return to_x(ts[b]), float(ys[b]), trials

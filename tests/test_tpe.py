@@ -62,3 +62,34 @@ class TestTPE:
             n_startup=12, log_space=False,
         )
         assert abs(best_x - 0.3) < 0.05
+
+
+class TestBatchedTPE:
+    def test_budget_and_convergence(self):
+        import math
+
+        from dusty_gan_tpu.utils.tpe import tpe_minimize_batched
+
+        calls = []
+
+        def f(xs):
+            calls.append(len(xs))
+            return [(math.log(x) - math.log(0.01)) ** 2 for x in xs]
+
+        best_x, best_y, trials = tpe_minimize_batched(
+            f, 1e-3, 1e-1, num_samples=40, seed=0, n_startup=10, batch=8
+        )
+        assert len(trials) == 40
+        assert all(n <= 8 for n in calls) and sum(calls) == 40
+        assert len(calls) == 5  # 40 trials in 8-wide rounds
+        assert abs(math.log(best_x) - math.log(0.01)) < 0.5
+
+    def test_batch_one_matches_sequential_budget(self):
+        from dusty_gan_tpu.utils.tpe import tpe_minimize_batched
+
+        best_x, best_y, trials = tpe_minimize_batched(
+            lambda xs: [(x - 0.05) ** 2 for x in xs],
+            1e-3, 1e-1, num_samples=15, seed=1, n_startup=5, batch=1,
+        )
+        assert len(trials) == 15
+        assert 1e-3 <= best_x <= 1e-1
