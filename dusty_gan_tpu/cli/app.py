@@ -43,6 +43,13 @@ def _workdir() -> str:
     return tempfile.mkdtemp(prefix="dusty_gan_app_")
 
 
+@st.cache_resource
+def _colormaps():
+    import matplotlib.pyplot as plt
+
+    return sorted(plt.colormaps())
+
+
 def _show_pngs(out_dir: str, caption: str):
     paths = sorted(glob.glob(osp.join(out_dir, "*.png")))
     if not paths:
@@ -67,6 +74,7 @@ def synthesis_ui(model_path: str, config_path: str):
                         step=1, format="%d°")
         pitch = st.slider("pitch", min_value=0, max_value=90, value=60,
                           step=1, format="%d°")
+        cmap = st.selectbox("color map", _colormaps(), index=_colormaps().index("turbo"))
     if st.button("run"):
         out = osp.join(_workdir(), "synthesis")
         with st.spinner("generating…"):
@@ -75,7 +83,8 @@ def synthesis_ui(model_path: str, config_path: str):
                  "--num-samples", str(num_samples), "--latent-type", latent_type,
                  "--seed", str(seed), "--out", out,
                  "--view-zoom", str(zoom), "--view-yaw", str(yaw),
-                 "--view-pitch", str(pitch)] + (["--video"] if video else [])
+                 "--view-pitch", str(pitch), "--cmap", cmap]
+                + (["--video"] if video else [])
             )
         _show_pngs(out, f"{latent_type} synthesis, {num_samples} samples")
         if video:
@@ -96,6 +105,11 @@ def inversion_ui(model_path: str, config_path: str):
         num_code = int(st.number_input("#codes (mGANprior)", value=1, min_value=1))
         compose_layer = int(st.number_input("compose layer", value=1, min_value=0, max_value=3))
         seed = int(st.number_input("seed", value=0))
+    with st.sidebar.expander("view options", expanded=False):
+        zoom = st.slider("zoom", min_value=1, max_value=120, value=60, step=1, format="%dm")
+        yaw = st.slider("yaw", min_value=-180, max_value=180, value=-45, step=1, format="%d°")
+        pitch = st.slider("pitch", min_value=0, max_value=90, value=60, step=1, format="%d°")
+        cmap = st.selectbox("color map", _colormaps(), index=_colormaps().index("turbo"))
     if st.button("run"):
         out = osp.join(_workdir(), "inversion")
         with st.spinner(f"optimizing latent for {num_step} steps…"):
@@ -105,7 +119,9 @@ def inversion_ui(model_path: str, config_path: str):
                  "--distance", ",".join(distance) or "l1",
                  "--num-step", str(num_step), "--num-code", str(num_code),
                  "--compose-layer", str(compose_layer),
-                 "--seed", str(seed), "--out", out]
+                 "--seed", str(seed), "--out", out,
+                 "--view-zoom", str(zoom), "--view-yaw", str(yaw),
+                 "--view-pitch", str(pitch), "--cmap", cmap]
             )
         st.balloons()
         _show_pngs(out, f"inversion of test[{index}] under '{corruption}'")

@@ -58,13 +58,14 @@ def synthesis(args):
 
     from dusty_gan_tpu.geometry.render import render_point_clouds
     from dusty_gan_tpu.utils.inversion import lerp, slerp
-    from dusty_gan_tpu.utils.postprocess import colorize, postprocess
+    from dusty_gan_tpu.utils.postprocess import cmap_table, colorize, postprocess
     from dusty_gan_tpu.utils.setup import make_eval_generator, setup
 
     cfg, G, params, lidar, fixed_noise = setup(args.model_path, args.config_path)
     gen = make_eval_generator(G, params, fixed_noise)
     key = jax.random.PRNGKey(args.seed)
     n = args.num_samples
+    cmap = cmap_table(args.cmap)
 
     if args.latent_type == "random":
         latent = jax.random.normal(key, (n, int(cfg.model.gen.in_ch)))
@@ -79,18 +80,18 @@ def synthesis(args):
     os.makedirs(args.out, exist_ok=True)
     panels = []
     if "depth_orig" in out:
-        panels.append(("inverse_depth", colorize(np.asarray(out["depth_orig"]) * COLOR_SCALE)))
+        panels.append(("inverse_depth", colorize(np.asarray(out["depth_orig"]) * COLOR_SCALE, cmap)))
     if "confidence" in out:
         conf = np.asarray(out["confidence"])
         if conf.shape[-1] == 2:
-            panels.append(("measurability_pix", colorize(conf[..., :1])))
-            panels.append(("measurability_img", colorize(conf[..., 1:])))
+            panels.append(("measurability_pix", colorize(conf[..., :1], cmap)))
+            panels.append(("measurability_img", colorize(conf[..., 1:], cmap)))
         else:
-            panels.append(("measurability", colorize(conf)))
+            panels.append(("measurability", colorize(conf, cmap)))
     if "mask" in out:
         mask = np.asarray(out["mask"])
         panels.append(("mask", np.repeat(mask.prod(-1, keepdims=True), 3, -1)))
-    panels.append(("inverse_depth_with_drops", colorize(np.asarray(out["depth"]) * COLOR_SCALE)))
+    panels.append(("inverse_depth_with_drops", colorize(np.asarray(out["depth"]) * COLOR_SCALE, cmap)))
     panels.append(("point_normal", np.asarray(out["normals"])))
     pts = np.asarray(out["points"]).reshape(n, -1, 3)
     nrm = np.asarray(out["normals"]).reshape(n, -1, 3)
@@ -108,7 +109,7 @@ def synthesis(args):
         # over the BEV render (reference save_videos, utils/__init__.py:182-191)
         from dusty_gan_tpu.utils.video import save_video
 
-        depth_rgb = colorize(np.asarray(out["depth"]) * COLOR_SCALE)  # (n,H,W,3)
+        depth_rgb = colorize(np.asarray(out["depth"]) * COLOR_SCALE, cmap)  # (n,H,W,3)
         frames = []
         for i in range(n):
             top = np.repeat(np.repeat(depth_rgb[i], 2, 0), 2, 1)
@@ -137,7 +138,7 @@ def inversion(args):
     from dusty_gan_tpu.utils.inversion import (
         make_inversion_loop, make_multicode_loop, project_sphere,
     )
-    from dusty_gan_tpu.utils.postprocess import colorize, postprocess
+    from dusty_gan_tpu.utils.postprocess import cmap_table, colorize, postprocess
     from dusty_gan_tpu.utils.setup import make_eval_generator, setup
 
     cfg, G, params, lidar, fixed_noise = setup(args.model_path, args.config_path)
@@ -207,16 +208,33 @@ def inversion(args):
 
     out = postprocess(out, lidar)
     os.makedirs(args.out, exist_ok=True)
+    cmap = cmap_table(args.cmap)
     _save_png(osp.join(args.out, "ref_inv.png"),
-              colorize(np.asarray(inv_ref) * COLOR_SCALE)[0])
+              colorize(np.asarray(inv_ref) * COLOR_SCALE, cmap)[0])
     _save_png(osp.join(args.out, "ref_inv_corrupted.png"),
-              colorize(np.asarray(inv_c * mask_c) * COLOR_SCALE)[0])
+              colorize(np.asarray(inv_c * mask_c) * COLOR_SCALE, cmap)[0])
     _save_png(osp.join(args.out, "gen_inv.png"),
-              colorize(np.asarray(out["depth"]) * COLOR_SCALE)[0])
+              colorize(np.asarray(out["depth"]) * COLOR_SCALE, cmap)[0])
     if "depth_orig" in out:
         _save_png(osp.join(args.out, "gen_inv_orig.png"),
-                  colorize(np.asarray(out["depth_orig"]) * COLOR_SCALE)[0])
+                  colorize(np.asarray(out["depth_orig"]) * COLOR_SCALE, cmap)[0])
     _save_png(osp.join(args.out, "gen_normals.png"), np.asarray(out["normals"])[0])
+
+    # BEV renders of the (corrupted) reference and reconstructed clouds
+    # (reference inversion page, demo.py:400,542)
+    from dusty_gan_tpu.geometry.normals import xyz_to_normal
+    from dusty_gan_tpu.geometry.render import render_point_clouds
+
+    R, t = _camera(args.view_zoom, args.view_yaw, args.view_pitch)
+    xyz_ref = lidar.inv_to_xyz(inv_c * mask_c, 1e-8)
+    nrm_ref = np.asarray(xyz_to_normal(xyz_ref)).reshape(1, -1, 3)
+    bev_ref = np.asarray(render_point_clouds(
+        np.asarray(pts_ref), nrm_ref, L=512, R=R, t=t))
+    _save_png(osp.join(args.out, "ref_bev.png"), bev_ref[0])
+    pts_gen = np.asarray(out["points"]).reshape(1, -1, 3)
+    nrm_gen = np.asarray(out["normals"]).reshape(1, -1, 3)
+    bev_gen = np.asarray(render_point_clouds(pts_gen, nrm_gen, L=512, R=R, t=t))
+    _save_png(osp.join(args.out, "gen_bev.png"), bev_gen[0])
     print("wrote inversion panels to", args.out)
 
 
@@ -244,6 +262,9 @@ def main(argv=None):
                     help="BEV camera yaw in degrees (-180..180, default -45)")
     ps.add_argument("--view-pitch", type=float, default=None,
                     help="BEV camera pitch in degrees (0..90, default 60)")
+    ps.add_argument("--cmap", default="turbo",
+                    help="matplotlib colormap for depth/confidence panels "
+                         "(reference app's color-map selector)")
     ps.set_defaults(fn=synthesis)
 
     pi = sub.add_parser("inversion")
@@ -259,6 +280,10 @@ def main(argv=None):
     pi.add_argument("--num-step", type=int, default=1000)
     pi.add_argument("--seed", type=int, default=0)
     pi.add_argument("--out", default="demo_out/inversion")
+    pi.add_argument("--view-zoom", type=float, default=None)
+    pi.add_argument("--view-yaw", type=float, default=None)
+    pi.add_argument("--view-pitch", type=float, default=None)
+    pi.add_argument("--cmap", default="turbo")
     pi.set_defaults(fn=inversion)
 
     args = parser.parse_args(argv)

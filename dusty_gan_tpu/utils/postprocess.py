@@ -42,6 +42,16 @@ def _turbo_map():
     return _TURBO
 
 
+def cmap_table(name: str = "turbo"):
+    """256-entry RGB lookup table for ``colorize`` from any matplotlib
+    colormap name (the reference app's color-map selector,
+    demo.py:227)."""
+    import matplotlib
+
+    cmap = matplotlib.colormaps[name]
+    return np.asarray(cmap(np.linspace(0, 1, 256))[:, :3], np.float32)
+
+
 def colorize(img, cmap_vals=None):
     """(B,H,W,1) or (B,H,W) in [0,1] -> (B,H,W,3) turbo-colorized
     (utils/__init__.py:194-210)."""

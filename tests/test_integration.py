@@ -198,6 +198,9 @@ class TestTrainCLI:
         ] + ["--out", out])
         assert glob(osp.join(out, "gen_inv.png"))
         assert glob(osp.join(out, "ref_inv_corrupted.png"))
+        # BEV renders of the reference/reconstructed clouds (demo.py:400,542)
+        assert glob(osp.join(out, "ref_bev.png"))
+        assert glob(osp.join(out, "gen_bev.png"))
 
     def test_evaluate_synthesis_compute_gt(self, trained_run, tmp_path, monkeypatch):
         """--compute-gt scores the real train-vs-test floor
