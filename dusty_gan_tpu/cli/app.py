@@ -50,6 +50,22 @@ def _colormaps():
     return sorted(plt.colormaps())
 
 
+def _view_options():
+    """BEV camera + colormap controls shared by both pages (mirrors the
+    reference's set_view_options, demo.py:186-229)."""
+    with st.sidebar.expander("view options", expanded=False):
+        zoom = st.slider("zoom", min_value=1, max_value=120, value=60, step=1,
+                         format="%dm")
+        yaw = st.slider("yaw", min_value=-180, max_value=180, value=-45,
+                        step=1, format="%d°")
+        pitch = st.slider("pitch", min_value=0, max_value=90, value=60,
+                          step=1, format="%d°")
+        cmap = st.selectbox("color map", _colormaps(),
+                            index=_colormaps().index("turbo"))
+    return ["--view-zoom", str(zoom), "--view-yaw", str(yaw),
+            "--view-pitch", str(pitch), "--cmap", cmap]
+
+
 def _show_pngs(out_dir: str, caption: str):
     paths = sorted(glob.glob(osp.join(out_dir, "*.png")))
     if not paths:
@@ -66,24 +82,14 @@ def synthesis_ui(model_path: str, config_path: str):
         latent_type = st.selectbox("latent type", ["random", "lerp", "slerp"])
         seed = int(st.number_input("seed", value=0))
         video = st.checkbox("write interpolation video", value=False)
-    with st.sidebar.expander("view options", expanded=False):
-        # BEV camera controls matching the reference app (demo.py:188-229)
-        zoom = st.slider("zoom", min_value=1, max_value=120, value=60, step=1,
-                         format="%dm")
-        yaw = st.slider("yaw", min_value=-180, max_value=180, value=-45,
-                        step=1, format="%d°")
-        pitch = st.slider("pitch", min_value=0, max_value=90, value=60,
-                          step=1, format="%d°")
-        cmap = st.selectbox("color map", _colormaps(), index=_colormaps().index("turbo"))
+    view = _view_options()
     if st.button("run"):
         out = osp.join(_workdir(), "synthesis")
         with st.spinner("generating…"):
             demo_cli.main(
                 ["synthesis", "--model-path", model_path, "--config-path", config_path,
                  "--num-samples", str(num_samples), "--latent-type", latent_type,
-                 "--seed", str(seed), "--out", out,
-                 "--view-zoom", str(zoom), "--view-yaw", str(yaw),
-                 "--view-pitch", str(pitch), "--cmap", cmap]
+                 "--seed", str(seed), "--out", out] + view
                 + (["--video"] if video else [])
             )
         _show_pngs(out, f"{latent_type} synthesis, {num_samples} samples")
@@ -105,11 +111,7 @@ def inversion_ui(model_path: str, config_path: str):
         num_code = int(st.number_input("#codes (mGANprior)", value=1, min_value=1))
         compose_layer = int(st.number_input("compose layer", value=1, min_value=0, max_value=3))
         seed = int(st.number_input("seed", value=0))
-    with st.sidebar.expander("view options", expanded=False):
-        zoom = st.slider("zoom", min_value=1, max_value=120, value=60, step=1, format="%dm")
-        yaw = st.slider("yaw", min_value=-180, max_value=180, value=-45, step=1, format="%d°")
-        pitch = st.slider("pitch", min_value=0, max_value=90, value=60, step=1, format="%d°")
-        cmap = st.selectbox("color map", _colormaps(), index=_colormaps().index("turbo"))
+    view = _view_options()
     if st.button("run"):
         out = osp.join(_workdir(), "inversion")
         with st.spinner(f"optimizing latent for {num_step} steps…"):
@@ -119,9 +121,7 @@ def inversion_ui(model_path: str, config_path: str):
                  "--distance", ",".join(distance) or "l1",
                  "--num-step", str(num_step), "--num-code", str(num_code),
                  "--compose-layer", str(compose_layer),
-                 "--seed", str(seed), "--out", out,
-                 "--view-zoom", str(zoom), "--view-yaw", str(yaw),
-                 "--view-pitch", str(pitch), "--cmap", cmap]
+                 "--seed", str(seed), "--out", out] + view
             )
         st.balloons()
         _show_pngs(out, f"inversion of test[{index}] under '{corruption}'")

@@ -57,8 +57,8 @@ def main(argv=None):
             # CPU backend needs an explicit cross-process collectives impl
             jax.config.update("jax_cpu_collectives_implementation", "gloo")
         kw = {}
-        if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-            trio = ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID")
+        trio = ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID")
+        if any(os.environ.get(k) for k in trio):
             missing = [k for k in trio if not os.environ.get(k)]
             if missing:
                 raise SystemExit(

@@ -207,8 +207,12 @@ def process_kitti_root(root_dir: str, H: int = 64, W: int = 2048,
 
     Scans fan out over a process pool (``n_jobs``, default all cores) like
     the reference's ``joblib.Parallel`` (process_kitti.py:26,186-222), and
-    the train-split angle accumulation is sharded over the same pool (the
-    partial sums are associative); ``n_jobs=1`` runs inline."""
+    the train-split angle accumulation is sharded over the same pool.
+    Per-scan projections are bit-identical to a sequential build; the
+    angle grid combines f64 partial sums per shard, so it matches the
+    sequential order to f64 reassociation rounding (far below the f32
+    output precision in practice, but not guaranteed bit-equal);
+    ``n_jobs=1`` runs inline."""
     n_jobs = os.cpu_count() if n_jobs is None else max(1, int(n_jobs))
 
     tasks = []

@@ -22,7 +22,6 @@ from jax.sharding import PartitionSpec as P
 
 from dusty_gan_tpu.metrics import chamfer as _chamfer
 from dusty_gan_tpu.metrics.chamfer import compute_cd
-from dusty_gan_tpu.metrics.emd import compute_emd
 from dusty_gan_tpu.parallel.mesh import DATA_AXIS
 
 # rows per device per dispatch: 16 rows x 512 cols = 8192 pairs/dispatch
@@ -42,23 +41,25 @@ def _cd_block_xla(rows, cols):
     return jax.lax.map(one, rows)
 
 
-def _make_cd_block_impl(use_pallas: bool, mesh):
-    if use_pallas:
-        from dusty_gan_tpu.metrics.chamfer_pallas import cd_block_pallas
-
-        fn = cd_block_pallas
-    else:
-        fn = _cd_block_xla
+def _make_block_impl(fn, mesh):
+    """jit a (rows, cols) -> (R, C) block fn, sharding the row axis over
+    the data mesh when one is given."""
     if mesh is not None and mesh.devices.size > 1:
-        fn = jax.jit(
+        return jax.jit(
             jax.shard_map(
                 fn, mesh=mesh, in_specs=(P(DATA_AXIS), P()),
                 out_specs=P(DATA_AXIS), check_vma=False,
             )
         )
-    else:
-        fn = jax.jit(fn)
-    return fn
+    return jax.jit(fn)
+
+
+def _make_cd_block_impl(use_pallas: bool, mesh):
+    if use_pallas:
+        from dusty_gan_tpu.metrics.chamfer_pallas import cd_block_pallas
+
+        return _make_block_impl(cd_block_pallas, mesh)
+    return _make_block_impl(_cd_block_xla, mesh)
 
 
 def _pad_rows(p, target: int):
@@ -139,12 +140,20 @@ def _pairwise_cd_blocked(pcs_1, pcs_2, col_chunk: int, mesh=None,
 def _pairwise_emd_rowwise(pcs_1, pcs_2, batch_size: int,
                           verbose: bool) -> np.ndarray:
     """Dense-XLA fallback: one row of the matrix per dispatch (the (B, N,
-    M) match state of the dense path bounds the batch)."""
+    M) match state of the dense path bounds the batch).  Pins the DENSE
+    implementation explicitly — this loop runs precisely when the Pallas
+    kernel is unavailable or failed, so it must not re-enter the
+    dispatching compute_emd."""
+    from dusty_gan_tpu.metrics.emd import earth_mover_distance_dense
+
     b1, b2 = pcs_1.shape[0], pcs_2.shape[0]
+    n_pts = float(pcs_1.shape[1])
 
     @jax.jit
     def row_emd(one, chunk):
-        return compute_emd(jnp.broadcast_to(one, chunk.shape), chunk)
+        return earth_mover_distance_dense(
+            jnp.broadcast_to(one, chunk.shape), chunk
+        ) / n_pts  # compute_emd normalization
 
     m = np.zeros((b1, b2), np.float32)
     symmetric = pcs_1 is pcs_2
@@ -178,12 +187,7 @@ def _pairwise_emd(pcs_1, pcs_2, batch_size: int, mesh=None,
         def block(rows, cols):
             return emd_block_pallas(rows, cols) / float(n)  # compute_emd norm
 
-        impl = block
-        if mesh is not None and mesh.devices.size > 1:
-            impl = jax.jit(
-                jax.shard_map(block, mesh=mesh, in_specs=(P(DATA_AXIS), P()),
-                              out_specs=P(DATA_AXIS), check_vma=False)
-            )
+        impl = _make_block_impl(block, mesh)
         try:
             return _blocked_matrix(
                 pcs_1, pcs_2, R, C, impl, pcs_1 is pcs_2, verbose, "emd",

@@ -119,23 +119,46 @@ def _use_pallas_emd(n: int, m: int) -> bool:
     return _use_pallas() and block_shapes_supported(n, m)
 
 
+def earth_mover_distance_dense(xyz1, xyz2, max_batch: int = 64):
+    """Dense-XLA EMD: the annealed rounds over materialized (b, N, M)
+    tensors, with ``max_batch`` bounding the working set.  Used directly
+    when the Pallas kernel is unavailable or has failed to compile."""
+    b = xyz1.shape[0]
+    if b > max_batch:
+        outs = []
+        for i in range(0, b, max_batch):
+            outs.append(
+                earth_mover_distance_dense(
+                    xyz1[i : i + max_batch], xyz2[i : i + max_batch], max_batch
+                )
+            )
+        return jnp.concatenate(outs)
+    match = jax.lax.stop_gradient(approx_match(xyz1, xyz2))
+    return match_cost(xyz1, xyz2, match)
+
+
 def earth_mover_distance(xyz1, xyz2, max_batch: int = 64):
     """(B,N,3),(B,M,3) -> (B,) approximate EMD (earth_mover_distance.py:24-37).
     Differentiable w.r.t. both clouds (match held constant, as in the
     reference backward).  On TPU with lane-aligned clouds this routes to
     the Pallas streaming kernel (metrics/emd_pallas.py, ~5.7x the dense
-    path, custom_vjp analytic gradients); elsewhere the dense XLA rounds
-    run with ``max_batch`` bounding the (b, N, M) working set."""
-    b = xyz1.shape[0]
+    path, custom_vjp analytic gradients), degrading to the dense XLA
+    rounds if the kernel fails to compile (eager calls only — inside jit
+    the failure re-raises, like chamfer's dispatch)."""
     if _use_pallas_emd(xyz1.shape[1], xyz2.shape[1]):
-        return _emd_pallas_diff(xyz1, xyz2)
-    if b > max_batch:
-        outs = []
-        for i in range(0, b, max_batch):
-            outs.append(earth_mover_distance(xyz1[i : i + max_batch], xyz2[i : i + max_batch]))
-        return jnp.concatenate(outs)
-    match = jax.lax.stop_gradient(approx_match(xyz1, xyz2))
-    return match_cost(xyz1, xyz2, match)
+        try:
+            return _emd_pallas_diff(xyz1, xyz2)
+        except Exception as e:
+            if isinstance(xyz1, jax.core.Tracer):
+                raise
+            import sys
+
+            print(
+                f"WARNING: pallas EMD kernel failed to compile "
+                f"({type(e).__name__}: {e}); falling back to the dense XLA "
+                f"path", file=sys.stderr, flush=True,
+            )
+    return earth_mover_distance_dense(xyz1, xyz2, max_batch)
 
 
 def compute_emd(pcs_1, pcs_2):

@@ -48,10 +48,13 @@ def _tn_for_emd(n: int) -> int:
 
 
 def block_shapes_supported(n: int, m: int) -> bool:
-    """The streaming kernel wants lane-aligned clouds and a single m-tile
-    (the eval protocol's 512/2048-point clouds qualify); anything else
-    takes the dense XLA path."""
-    return n % 128 == 0 and m % 128 == 0 and n <= 8192 and m <= 2048
+    """The streaming kernel wants lane-aligned clouds, a single m-tile,
+    and n small enough that the six (n, 1) scratch columns (lane-padded
+    to (8, 128) tiles: n/2 KB each) plus the (tn, m) distance tile fit
+    the 16 MB scoped-VMEM budget — n <= 2048 keeps scratch at 6 MB.  The
+    eval protocol's 512/2048-point clouds qualify; anything else takes
+    the dense XLA path."""
+    return n % 128 == 0 and m % 128 == 0 and n <= 2048 and m <= 2048
 
 
 def _run_auction(x_ref, y_ref, rl_col, ratio_l_col, r_col, v0, v1, v2,
@@ -360,9 +363,12 @@ def emd_pair_pallas(x, y, interpret: bool = False):
     u = jnp.stack([o[:, 0, :] for o in outs[5:8]], axis=-1)
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)
+    # HIGHEST: metric matmul math must not run at the TPU's bf16-grade
+    # default precision (CLAUDE.md; dense match_cost pins it too)
+    hi = jax.lax.Precision.HIGHEST
     cost = (
-        jnp.einsum("bn,bn->b", jnp.sum(xf * xf, -1), r)
-        + jnp.einsum("bm,bm->b", jnp.sum(yf * yf, -1), c)
-        - 2.0 * jnp.einsum("bnc,bnc->b", xf, v)
+        jnp.einsum("bn,bn->b", jnp.sum(xf * xf, -1), r, precision=hi)
+        + jnp.einsum("bm,bm->b", jnp.sum(yf * yf, -1), c, precision=hi)
+        - 2.0 * jnp.einsum("bnc,bnc->b", xf, v, precision=hi)
     )
     return cost, r, c, v, u

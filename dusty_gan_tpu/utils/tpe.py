@@ -76,39 +76,28 @@ def tpe_minimize(
     callback: Callable[[int, float, float, float], None] = None,
 ) -> Tuple[float, float, List[Dict]]:
     """Minimize ``objective(x)`` over [lo, hi] (sampled log-uniformly when
-    ``log_space``).  Returns (best_x, best_y, trials)."""
-    tlo, thi = (np.log(lo), np.log(hi)) if log_space else (lo, hi)
-    to_x = (lambda t: float(np.exp(t))) if log_space else float
+    ``log_space``).  Returns (best_x, best_y, trials).  Thin wrapper over
+    ``tpe_minimize_batched`` with batch=1 (same proposal rule — one
+    implementation to maintain)."""
+    state = {"i": 0, "best_x": None, "best_y": float("inf")}
 
-    rng = np.random.RandomState(seed)
-    ts: List[float] = []
-    ys: List[float] = []
-    trials: List[Dict] = []
-    for i in range(num_samples):
-        if i < n_startup:
-            t = rng.uniform(tlo, thi)
-        else:
-            order = np.argsort(ys)
-            n_below = max(1, int(np.ceil(gamma * len(ys))))
-            below = np.asarray(ts)[order[:n_below]]
-            above = np.asarray(ts)[order[n_below:]]
-            l_pts, l_bw = _adaptive_parzen(below, tlo, thi)
-            g_pts, g_bw = _adaptive_parzen(above, tlo, thi)
-            cands = _sample_mixture(rng, n_candidates, l_pts, l_bw, tlo, thi)
-            ei = _log_mixture_pdf(cands, l_pts, l_bw, tlo, thi) - _log_mixture_pdf(
-                cands, g_pts, g_bw, tlo, thi
-            )
-            t = float(cands[int(np.argmax(ei))])
-        x = to_x(t)
-        y = float(objective(x))
-        ts.append(t)
-        ys.append(y)
-        trials.append({"x": x, "y": y})
-        if callback is not None:
-            b = int(np.argmin(ys))
-            callback(i, x, y, to_x(ts[b]))
-    b = int(np.argmin(ys))
-    return to_x(ts[b]), float(ys[b]), trials
+    def objective_batch(xs):
+        ys = []
+        for x in xs:
+            y = float(objective(x))
+            ys.append(y)
+            if y < state["best_y"]:
+                state["best_x"], state["best_y"] = x, y
+            if callback is not None:
+                callback(state["i"], x, y, state["best_x"])
+            state["i"] += 1
+        return ys
+
+    return tpe_minimize_batched(
+        objective_batch, lo, hi, num_samples=num_samples, seed=seed,
+        n_startup=n_startup, gamma=gamma, n_candidates=n_candidates,
+        log_space=log_space, batch=1,
+    )
 
 
 def tpe_minimize_batched(
