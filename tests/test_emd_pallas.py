@@ -109,3 +109,69 @@ class TestDifferentiableEmdKernel:
         gy_k = 2.0 * (np.asarray(c)[..., None] * np.asarray(y) - np.asarray(u))
         np.testing.assert_allclose(gx_k, np.asarray(gx_dense), atol=2e-4)
         np.testing.assert_allclose(gy_k, np.asarray(gy_dense), atol=2e-4)
+
+
+class TestFallbacks:
+    def test_emd_dispatch_falls_back_on_kernel_failure(self, monkeypatch, capsys):
+        """A Pallas compile failure on an eager call degrades to the dense
+        path with a warning instead of crashing (review finding r3)."""
+        import dusty_gan_tpu.metrics.emd as emd_mod
+
+        monkeypatch.setattr(emd_mod, "_use_pallas_emd", lambda n, m: True)
+
+        def boom(x, y):
+            raise RuntimeError("mosaic says no")
+
+        monkeypatch.setattr(emd_mod, "_emd_pallas_diff", boom)
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 128, 3)).astype(np.float32))
+        y = jnp.asarray(rng.uniform(-1, 1, (1, 128, 3)).astype(np.float32))
+        out = np.asarray(emd_mod.earth_mover_distance(x, y))
+        dense = np.asarray(emd_mod.earth_mover_distance_dense(x, y))
+        np.testing.assert_allclose(out, dense, rtol=0, atol=0)
+        assert "falling back to the dense XLA path" in capsys.readouterr().err
+
+    def test_pairwise_emd_block_failure_uses_dense_rowwise(self, monkeypatch, capsys):
+        """The pairwise block path's failure fallback must not re-enter
+        the failing kernel (review finding r2)."""
+        import dusty_gan_tpu.metrics.cov_mmd_1nna as cm
+        import dusty_gan_tpu.metrics.emd_pallas as ep
+
+        monkeypatch.setattr(cm._chamfer, "_use_pallas", lambda: True)
+
+        def boom(rows, cols, interpret=False):
+            raise RuntimeError("mosaic says no")
+
+        monkeypatch.setattr(ep, "emd_block_pallas", boom)
+        rng = np.random.RandomState(1)
+        pcs = jnp.asarray(rng.uniform(-1, 1, (4, 128, 3)).astype(np.float32))
+        m = cm._pairwise_emd(pcs, pcs, 4)
+        assert "falling back to the dense XLA row loop" in capsys.readouterr().err
+        oracle = cm._pairwise_emd_rowwise(pcs, pcs, 4, False)
+        np.testing.assert_allclose(m, oracle, rtol=0, atol=0)
+
+
+class TestCdBlockFallback:
+    def test_cd_block_failure_uses_xla_blocks(self, monkeypatch, capsys):
+        import dusty_gan_tpu.metrics.chamfer_pallas as cp
+        import dusty_gan_tpu.metrics.cov_mmd_1nna as cm
+
+        # True only for the dispatch decision; the XLA fallback's inner
+        # compute_cd must see False (we're on the CPU backend)
+        first = iter([True])
+        monkeypatch.setattr(cm._chamfer, "_use_pallas",
+                            lambda: next(first, False))
+
+        def boom(rows, cols, interpret=False):
+            raise RuntimeError("mosaic says no")
+
+        monkeypatch.setattr(cp, "cd_block_pallas", boom)
+        rng = np.random.RandomState(2)
+        a = jnp.asarray(rng.uniform(-1, 1, (5, 64, 3)).astype(np.float32))
+        b = jnp.asarray(rng.uniform(-1, 1, (3, 64, 3)).astype(np.float32))
+        m = cm._pairwise_cd_blocked(a, b, 4)
+        assert "falling back to the XLA block path" in capsys.readouterr().err
+        assert cm._chamfer.LAST_DISPATCH == "xla"
+        from dusty_gan_tpu.metrics.chamfer import compute_cd
+        row0 = np.asarray(compute_cd(jnp.broadcast_to(a[0], b.shape), b))
+        np.testing.assert_allclose(m[0], row0, rtol=1e-6, atol=1e-7)
