@@ -137,11 +137,32 @@ def main(argv=None):
     if profile_dir:
         import jax.profiler
 
+    # graceful preemption: SIGTERM (what cluster schedulers send) requests
+    # a checkpoint + clean exit at the next loop boundary, so a preempted
+    # 25M-image run resumes exactly where it stopped (with the stream
+    # fast-forward, bit-identically).  The reference dies uncheckpointed.
+    import signal
+
+    stop_requested = []
+
+    def _on_sigterm(signum, frame):
+        stop_requested.append(signum)
+
+    prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+
     it = trainer.device_iter()
     t_last = time.perf_counter()
     imgs_per_iter = trainer.batch_size
 
     for i in range(trainer.start_iteration + 1, total_iteration + 1):
+        if stop_requested:
+            if is_main:
+                path = trainer.save(osp.join(run_dir, "models"),
+                                    (i - 1) * imgs_per_iter)
+                print(f"SIGTERM: checkpointed at iteration {i - 1}: {path}")
+                logger.close()
+            signal.signal(signal.SIGTERM, prev_handler)
+            return run_dir
         if profile_dir and i == trainer.start_iteration + 4:
             jax.profiler.start_trace(profile_dir)
         batch = next(it)

@@ -312,3 +312,59 @@ class TestProfiling:
         from dusty_gan_tpu.utils.profiling import summarize_trace
 
         assert summarize_trace(str(tmp_path)) is None
+
+
+class TestGracefulPreemption:
+    def test_sigterm_checkpoints_and_resumes(self, synth_root, tmp_path):
+        """SIGTERM mid-run -> clean exit with a checkpoint at the last
+        finished iteration; resume continues from it (the reference dies
+        uncheckpointed on preemption)."""
+        import os
+        import signal
+        import subprocess
+        import sys
+        import time as _time
+
+        run_dir = str(tmp_path / "preempt")
+        env = {k: v for k, v in os.environ.items()
+               if not any(k.startswith(p) for p in ("TPU", "PALLAS", "LIBTPU"))}
+        env.update(JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=8",
+                   JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache")
+        proc = subprocess.Popen(
+            [sys.executable, "-u", "-m", "dusty_gan_tpu.cli.train"]
+            + TINY + [f"dataset.root={synth_root}", f"run_dir={run_dir}",
+                      "total_iterations=100000",
+                      "solver.checkpoint.test=100000",
+                      "solver.checkpoint.save_image=100000",
+                      "solver.checkpoint.save_model=100000"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        try:
+            # wait until at least a couple of iterations have run
+            deadline = _time.time() + 300
+            while _time.time() < deadline:
+                if osp.exists(osp.join(run_dir, "scalars.jsonl")):
+                    with open(osp.join(run_dir, "scalars.jsonl")) as f:
+                        if len(f.readlines()) >= 2:
+                            break
+                _time.sleep(2)
+            proc.send_signal(signal.SIGTERM)
+            out, _ = proc.communicate(timeout=180)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+        assert proc.returncode == 0, out[-2000:]
+        assert "SIGTERM: checkpointed at iteration" in out
+        ckpts = glob(osp.join(run_dir, "models", "checkpoint_*.ckpt"))
+        assert len(ckpts) == 1
+        # and the checkpoint resumes
+        from dusty_gan_tpu.cli.train import main as train_main
+
+        run2 = str(tmp_path / "resumed")
+        imgs = int(osp.basename(ckpts[0])[len("checkpoint_"):-len(".ckpt")])
+        it0 = imgs // 8
+        train_main(TINY + [f"dataset.root={synth_root}", f"run_dir={run2}",
+                           f"resume={ckpts[0]}",
+                           f"total_iterations={it0 + 2}"])
+        assert glob(osp.join(run2, "models", "checkpoint_*.ckpt"))
