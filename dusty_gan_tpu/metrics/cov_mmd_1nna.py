@@ -80,16 +80,32 @@ def _blocked_matrix(pcs_1, pcs_2, R: int, C: int, impl, symmetric: bool,
     rows_all = _pad_rows(pcs_1, b1p)
     cols_all = _pad_rows(pcs_2, b2p)
 
+    # pipelined dispatch: keep a window of blocks in flight and fetch the
+    # oldest as new ones enqueue — the device computes block k+1 while
+    # the host fetches block k (through a remote-TPU tunnel the
+    # synchronous version serializes a round-trip per block). The window
+    # bounds queued input slices (each ~C*M*12 bytes) to ~window * 13 MB
+    # at protocol scale.
     out = np.zeros((b1p, b2p), np.float32)
+    pending = []
+    window = 16
+
+    def drain(n_keep: int):
+        while len(pending) > n_keep:
+            i0, j0, blk = pending.pop(0)
+            out[i0 : i0 + R, j0 : j0 + C] = np.asarray(blk)
+
     for i in range(0, b1p, R):
         rows = jax.lax.slice_in_dim(rows_all, i, i + R)
         for j in range(0, b2p, C):
             if symmetric and j + C <= i:
                 continue  # entirely below the diagonal: mirrored later
             cols = jax.lax.slice_in_dim(cols_all, j, j + C)
-            out[i : i + R, j : j + C] = np.asarray(impl(rows, cols))
+            pending.append((i, j, impl(rows, cols)))
+            drain(window)
         if verbose:
-            print(f"pairwise {label}: {min(i + R, b1)}/{b1}")
+            print(f"pairwise {label}: dispatched {min(i + R, b1)}/{b1}")
+    drain(0)
     out = out[:b1, :b2]
     if symmetric:
         lower = np.tril_indices(b1, -1)
