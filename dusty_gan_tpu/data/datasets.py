@@ -70,6 +70,7 @@ class RangeImageDataset:
         self.modality = tuple(modality)
         self.datalist = self._load_datalist()
         self._cache = None
+        self._flip_cache = None
         if cache_dir is not None and len(self.datalist) > 0:
             self._build_cache(cache_dir)
 
@@ -122,20 +123,31 @@ class RangeImageDataset:
         return out
 
     def get(self, index: int,
-            rng: Optional[np.random.Generator] = None) -> Dict[str, np.ndarray]:
+            rng: Optional[np.random.Generator] = None,
+            keys: Optional[Sequence[str]] = None) -> Dict[str, np.ndarray]:
         """Fetch one item; ``rng`` drives the h-flip draw (same Bernoulli(.5)
         as datasets/kitti.py:70-77, but from an explicit stream — no global
         np.random anywhere in the data path, so batch streams are
         bit-reproducible across resume). When None, a per-(seed, index)
-        stream is derived (deterministic standalone access)."""
+        stream is derived (deterministic standalone access).
+
+        ``keys`` restricts the returned dict; restricting to keys the flip
+        cache covers lets flipped draws stay on the zero-copy cache path
+        (flips at FULL resolution before the nearest subsample cannot be
+        derived from the cached unflipped image, so without a flip cache
+        they reprocess the raw scan — ~6 ms/item vs ~1 µs)."""
         if rng is None:
             rng = np.random.default_rng([self.seed, index])
         do_flip = self.flip and rng.random() > 0.5
-        if self._cache is not None and not do_flip:
-            return {k: v[index] for k, v in self._cache.items()}
-        # flip happens at FULL resolution before the nearest subsample
-        # (datasets/kitti.py:70-77), so flipped items bypass the cache
-        return self._process(self._load_raw(index), do_flip)
+        if self._cache is not None:
+            if not do_flip:
+                src = self._cache
+                return {k: src[k][index] for k in (keys or src)}
+            fc = self._flip_cache
+            if fc is not None and keys is not None and set(keys) <= set(fc):
+                return {k: fc[k][index] for k in keys}
+        item = self._process(self._load_raw(index), do_flip)
+        return {k: item[k] for k in keys} if keys else item
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         return self.get(index)
@@ -152,8 +164,14 @@ class RangeImageDataset:
                 ",".join(self.modality),
                 str(len(self.datalist)),
             ]
+            + (["flip"] if self.flip else [])
         )
         return hashlib.sha1(sig.encode()).hexdigest()[:16]
+
+    # flip-cache keys: what the training step consumes (depth+mask; the
+    # trainer derives points on-device from depth, so xyz is never needed
+    # for flipped draws — eval phases construct datasets with flip=False)
+    FLIP_CACHE_KEYS = ("depth", "mask")
 
     def _build_cache(self, cache_dir: str):
         os.makedirs(cache_dir, exist_ok=True)
@@ -161,15 +179,38 @@ class RangeImageDataset:
         keys = ["depth", "mask", "xyz"] + (
             ["reflectance"] if "reflectance" in self.modality else []
         )
+        flip_keys = list(self.FLIP_CACHE_KEYS) if self.flip else []
         if not osp.exists(path):
-            buf = {k: [] for k in keys}
-            for i in range(len(self.datalist)):
-                item = self._process(self._load_raw(i), flip=False)
-                for k in keys:
-                    buf[k].append(item[k])
-            np.savez(path, **{k: np.stack(v) for k, v in buf.items()})
+            from concurrent.futures import ThreadPoolExecutor
+
+            # np.load and the ctypes/numpy pipeline release the GIL, so a
+            # thread pool scales the one-time build with host cores
+            with ThreadPoolExecutor(
+                max_workers=min(os.cpu_count() or 1, 16)
+            ) as ex:
+                n = len(self.datalist)
+                plain = list(ex.map(
+                    lambda i: self._process(self._load_raw(i), flip=False),
+                    range(n),
+                ))
+                buf = {k: np.stack([it[k] for it in plain]) for k in keys}
+                del plain
+                if flip_keys:
+                    flipped = list(ex.map(
+                        lambda i: self._process(self._load_raw(i), flip=True),
+                        range(n),
+                    ))
+                    for k in flip_keys:
+                        buf["flip_" + k] = np.stack([it[k] for it in flipped])
+            tmp = path + ".tmp.npz"
+            np.savez(tmp, **buf)
+            os.replace(tmp, path)
         loaded = np.load(path, mmap_mode=None)
         self._cache = {k: loaded[k] for k in keys}
+        flip_loaded = {
+            k: loaded["flip_" + k] for k in flip_keys if "flip_" + k in loaded
+        }
+        self._flip_cache = flip_loaded or None
 
     def __repr__(self):
         return (

@@ -28,6 +28,7 @@ class Loader:
         process_index: int = 0,
         process_count: int = 1,
         prefetch: int = 2,
+        keys=None,
     ):
         self.dataset = dataset
         self.batch_size = int(batch_size)
@@ -37,6 +38,10 @@ class Loader:
         self.process_index = process_index
         self.process_count = process_count
         self.prefetch = prefetch
+        # restrict batches to these item keys (e.g. the train step only
+        # consumes depth+mask); also keeps flipped draws on the dataset's
+        # flip-cache fast path instead of reprocessing the raw scan
+        self.keys = tuple(keys) if keys is not None else None
         assert self.batch_size % process_count == 0
 
     def __len__(self):
@@ -65,11 +70,14 @@ class Loader:
         if get is None:
             items = [self.dataset[int(i)] for i in idxs]
         else:
+            kw = {"keys": self.keys} if self.keys is not None else {}
             items = [
-                get(int(i), np.random.default_rng([self.seed, epoch, int(i)]))
+                get(int(i), np.random.default_rng([self.seed, epoch, int(i)]),
+                    **kw)
                 for i in idxs
             ]
-        return {k: np.stack([it[k] for it in items]) for k in items[0]}
+        ks = self.keys if self.keys is not None else tuple(items[0])
+        return {k: np.stack([it[k] for it in items]) for k in ks}
 
     def epoch(self, epoch: int, start_batch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         """One epoch of batches, optionally skipping the first

@@ -40,9 +40,18 @@ from dusty_gan_tpu.train.state import TrainState, ema_update
 
 def fetch_reals(batch: Dict[str, jax.Array], lidar, drop_const: float):
     """depth [0,1] + mask -> normalized inverse depth in [-1,1] with dropped
-    pixels at drop_const (trainers/dcgan_amp.py:154-160). NHWC."""
+    pixels at drop_const (trainers/dcgan_amp.py:154-160). NHWC.
+
+    ``mask`` may be omitted: the dataset pipeline gates valid returns with
+    STRICT min/max inequalities and zeroes everything else, so normalized
+    valid depths are strictly positive and ``mask == (depth > 0)`` bit-
+    exactly (tests/test_data.py::TestMaskInvariant). Deriving it on-device
+    halves the per-step host->device transfer."""
     depth = batch["depth"]
-    mask = batch["mask"].astype(depth.dtype)
+    if "mask" in batch:
+        mask = batch["mask"].astype(depth.dtype)
+    else:
+        mask = (depth > 0).astype(depth.dtype)
     inv = sigmoid_to_tanh(lidar.invert_depth(depth))
     return mask * inv + (1.0 - mask) * drop_const, mask
 
@@ -208,7 +217,8 @@ def make_train_step(
     # full step
     # ------------------------------------------------------------------
     def train_step(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array):
-        """batch: {"depth": (A*B,H,W,1) in [0,1], "mask": (A*B,H,W,1)}."""
+        """batch: {"depth": (A*B,H,W,1) in [0,1]} (+ optional "mask";
+        absent -> derived on-device as depth > 0, see fetch_reals)."""
         x_real_flat, _ = fetch_reals(batch, lidar, drop_const)
         n = x_real_flat.shape[0]
         b = n // A

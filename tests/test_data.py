@@ -290,3 +290,83 @@ class TestParallelPreprocess:
         for x, y in zip(pa, pb):
             np.testing.assert_array_equal(np.load(x), np.load(y))
         assert osp.exists(osp.join(rb, "angles.npy"))
+
+
+class TestFlipCacheAndKeys:
+    """Flip-cache fast path: flipped draws served from a prebuilt cache must
+    be bit-identical to reprocessing the raw scan (the flip happens at FULL
+    resolution before the nearest subsample, so it cannot be derived from
+    the cached unflipped image), and a keys-restricted Loader must produce
+    exactly the same depth/mask stream as an unrestricted one."""
+
+    def _ds(self, synth_root, cache_dir=None):
+        return KITTIOdometry(root=str(synth_root), split="train",
+                             shape=(64, 256), flip=True,
+                             cache_dir=cache_dir)
+
+    def test_flip_cache_bit_parity(self, synth_root, tmp_path):
+        cached = self._ds(synth_root, cache_dir=str(tmp_path / "cache"))
+        plain = self._ds(synth_root)
+        assert cached._flip_cache is not None
+        for i in range(len(cached)):
+            for draw in (0, 1):  # force both flip outcomes via a stub rng
+                class R:
+                    def random(self):
+                        return float(draw)
+                a = cached.get(i, R(), keys=("depth", "mask"))
+                b = plain.get(i, R(), keys=("depth", "mask"))
+                for k in ("depth", "mask"):
+                    np.testing.assert_array_equal(a[k], b[k])
+
+    def test_flipped_draws_skip_reprocessing(self, synth_root, tmp_path,
+                                             monkeypatch):
+        ds = self._ds(synth_root, cache_dir=str(tmp_path / "cache"))
+
+        def boom(*a, **k):
+            raise AssertionError("_process called on the cached fast path")
+
+        monkeypatch.setattr(ds, "_process", boom)
+        loader = Loader(ds, batch_size=4, shuffle=True, seed=0,
+                        keys=("depth", "mask"))
+        for e in (0, 1):
+            for b in loader.epoch(e):
+                assert set(b) == {"depth", "mask"}
+
+    def test_keys_restriction_matches_full_stream(self, synth_root, tmp_path):
+        cached = Loader(self._ds(synth_root, cache_dir=str(tmp_path / "c2")),
+                        batch_size=4, shuffle=True, seed=7,
+                        keys=("depth", "mask"))
+        full = Loader(self._ds(synth_root), batch_size=4, shuffle=True,
+                      seed=7)
+        for a, b in zip(cached.epoch(0), full.epoch(0)):
+            assert set(a) == {"depth", "mask"}
+            assert set(b) == {"depth", "mask", "xyz"}
+            np.testing.assert_array_equal(a["depth"], b["depth"])
+            np.testing.assert_array_equal(a["mask"], b["mask"])
+
+    def test_val_phase_has_no_flip_cache(self, synth_root, tmp_path):
+        ds = KITTIOdometry(root=str(synth_root), split="val",
+                           shape=(64, 256), flip=False,
+                           cache_dir=str(tmp_path / "c3"))
+        assert ds._flip_cache is None
+
+
+class TestMaskInvariant:
+    """mask == (depth > 0) bit-exactly for every produced item: the value
+    pipeline gates valid returns with STRICT min/max inequalities and zeroes
+    everything outside the mask, so normalized valid depths are strictly
+    positive.  The train loader relies on this to ship depth alone and
+    derive the mask on-device (train/step.py fetch_reals)."""
+
+    def test_kitti_both_flip_outcomes(self, synth_root):
+        ds = KITTIOdometry(root=str(synth_root), split="train",
+                           shape=(64, 256), flip=True)
+        for i in range(len(ds)):
+            for draw in (0.0, 1.0):
+                class R:
+                    def random(self, _d=draw):
+                        return _d
+                item = ds.get(i, R())
+                np.testing.assert_array_equal(
+                    item["mask"], (item["depth"] > 0).astype(np.float32))
+                assert item["depth"].min() >= 0.0

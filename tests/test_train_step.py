@@ -67,6 +67,25 @@ class TestFetchReals:
         np.testing.assert_allclose(x[m == 0], -1.0)
 
 
+
+    def test_depth_only_batch_derives_identical_mask(self):
+        """A depth-only batch (the loader's transfer-thin path) must yield
+        the exact (inv, mask) pair of an explicit-mask batch when the mask
+        satisfies the dataset invariant mask == (depth > 0)."""
+        lidar = tiny_lidar()
+        rng = np.random.RandomState(3)
+        depth = rng.uniform(0.05, 1.0, (4, H, W, 1)).astype(np.float32)
+        drop = rng.uniform(size=depth.shape) < 0.3
+        depth[drop] = 0.0  # invalid returns are zeroed by the pipeline
+        full = {"depth": jnp.asarray(depth),
+                "mask": jnp.asarray((depth > 0).astype(np.float32))}
+        thin = {"depth": jnp.asarray(depth)}
+        inv_a, m_a = fetch_reals(full, lidar, drop_const=-1.0)
+        inv_b, m_b = fetch_reals(thin, lidar, drop_const=-1.0)
+        np.testing.assert_array_equal(np.asarray(inv_a), np.asarray(inv_b))
+        np.testing.assert_array_equal(np.asarray(m_a), np.asarray(m_b))
+
+
 class TestTrainStep:
     def test_losses_finite_and_params_move(self):
         step, state = build()
