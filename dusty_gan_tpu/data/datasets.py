@@ -202,7 +202,12 @@ class RangeImageDataset:
                     ))
                     for k in flip_keys:
                         buf["flip_" + k] = np.stack([it[k] for it in flipped])
-            tmp = path + ".tmp.npz"
+            # per-PROCESS tmp name: concurrent builders (e.g. multi-host
+            # ranks sharing a dataset root) each write their own file and
+            # atomically publish it — last writer wins with identical
+            # deterministic content; a shared tmp name would let one
+            # rank's os.replace steal the file another rank is writing
+            tmp = path + f".tmp.{os.getpid()}.npz"
             np.savez(tmp, **buf)
             os.replace(tmp, path)
         loaded = np.load(path, mmap_mode=None)

@@ -28,6 +28,11 @@ from dusty_gan_tpu.parallel.mesh import DATA_AXIS
 # amortizes host dispatch (the pre-block path paid it per 512 pairs)
 _ROW_BLOCK = 16
 
+# max matrix blocks in flight before the oldest is fetched (0 = fetch
+# synchronously after every dispatch); bounds queued input slices (each
+# ~C*M*12 bytes) to ~window * 13 MB at protocol scale
+DISPATCH_WINDOW = 16
+
 
 def _cd_block_xla(rows, cols):
     """(R,N,3),(C,M,3) -> (R,C) CD block without Pallas (CPU tests, or
@@ -83,12 +88,10 @@ def _blocked_matrix(pcs_1, pcs_2, R: int, C: int, impl, symmetric: bool,
     # pipelined dispatch: keep a window of blocks in flight and fetch the
     # oldest as new ones enqueue — the device computes block k+1 while
     # the host fetches block k (through a remote-TPU tunnel the
-    # synchronous version serializes a round-trip per block). The window
-    # bounds queued input slices (each ~C*M*12 bytes) to ~window * 13 MB
-    # at protocol scale.
+    # synchronous version serializes a round-trip per block).
     out = np.zeros((b1p, b2p), np.float32)
     pending = []
-    window = 16
+    window = DISPATCH_WINDOW
 
     def drain(n_keep: int):
         while len(pending) > n_keep:
