@@ -370,3 +370,21 @@ class TestMaskInvariant:
                 np.testing.assert_array_equal(
                     item["mask"], (item["depth"] > 0).astype(np.float32))
                 assert item["depth"].min() >= 0.0
+
+    def test_cache_is_memmapped_and_build_is_incremental(self, synth_root,
+                                                         tmp_path):
+        """The cache must load as read-only memmaps (resident = touched
+        pages, not the whole dataset) and concurrent builders must not
+        corrupt each other: two datasets pointed at the same cache dir
+        produce identical items."""
+        def _ds(cache_dir):
+            return KITTIOdometry(root=str(synth_root), split="train",
+                                 shape=(64, 256), flip=True,
+                                 cache_dir=cache_dir)
+        a = _ds(str(tmp_path / "c4"))
+        b = _ds(str(tmp_path / "c4"))
+        assert isinstance(a._cache["depth"], np.memmap)
+        assert isinstance(a._flip_cache["depth"], np.memmap)
+        for i in (0, len(a) - 1):
+            for k in ("depth", "mask", "xyz"):
+                np.testing.assert_array_equal(a[i][k], b[i][k])
