@@ -144,12 +144,13 @@ class RangeImageDataset:
         if self._cache is not None:
             if not do_flip:
                 src = self._cache
-                return {k: src[k][index] for k in (keys or src)}
+                return {k: src[k][index]
+                        for k in (src if keys is None else keys)}
             fc = self._flip_cache
             if fc is not None and keys is not None and set(keys) <= set(fc):
                 return {k: fc[k][index] for k in keys}
         item = self._process(self._load_raw(index), do_flip)
-        return {k: item[k] for k in keys} if keys else item
+        return item if keys is None else {k: item[k] for k in keys}
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         return self.get(index)
@@ -203,51 +204,62 @@ class RangeImageDataset:
 
     def _write_cache_dir(self, path: str, keys, flip_keys):
         import shutil
+        import uuid
         from concurrent.futures import ThreadPoolExecutor
         from numpy.lib.format import open_memmap
 
         n = len(self.datalist)
-        # per-PROCESS tmp dir + atomic rename: concurrent builders (e.g.
+        # per-BUILDER tmp dir + atomic rename: concurrent builders (e.g.
         # multi-host ranks sharing a dataset root) each build their own
-        # tree and the first rename wins; content is deterministic, so
-        # losers just discard theirs
-        tmp = f"{path}.tmp.{os.getpid()}"
-        os.makedirs(tmp, exist_ok=True)
-        first = self._process(self._load_raw(0), flip=False)
-        mm = {
-            k: open_memmap(osp.join(tmp, k + ".npy"), mode="w+",
-                           dtype=first[k].dtype, shape=(n,) + first[k].shape)
-            for k in keys
-        }
-        for k in flip_keys:
-            mm["flip_" + k] = open_memmap(
-                osp.join(tmp, "flip_" + k + ".npy"), mode="w+",
-                dtype=first[k].dtype, shape=(n,) + first[k].shape,
-            )
-
-        def work(i: int):
-            item = self._process(self._load_raw(i), flip=False)
-            for k in keys:
-                mm[k][i] = item[k]
-            if flip_keys:
-                f = self._process(self._load_raw(i), flip=True)
-                for k in flip_keys:
-                    mm["flip_" + k][i] = f[k]
-
-        # np.load and the ctypes/numpy pipeline release the GIL, so a
-        # thread pool scales the one-time build with host cores (rows are
-        # disjoint, so concurrent memmap writes don't race)
-        with ThreadPoolExecutor(
-            max_workers=min(os.cpu_count() or 1, 16)
-        ) as ex:
-            list(ex.map(work, range(n)))
-        for v in mm.values():
-            v.flush()
-        del mm
+        # uniquely-named tree and the first rename wins; content is
+        # deterministic, so losers just discard theirs.  The name carries
+        # a uuid, not just the pid — ranks on different hosts (separate
+        # pid namespaces) can share a network-FS cache dir, and a pid
+        # collision there would interleave two builders into one tree
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        os.makedirs(tmp, exist_ok=False)
         try:
-            os.rename(tmp, path)
-        except OSError:
-            shutil.rmtree(tmp)  # another builder already published
+            first = self._process(self._load_raw(0), flip=False)
+            mm = {
+                k: open_memmap(osp.join(tmp, k + ".npy"), mode="w+",
+                               dtype=first[k].dtype,
+                               shape=(n,) + first[k].shape)
+                for k in keys
+            }
+            for k in flip_keys:
+                mm["flip_" + k] = open_memmap(
+                    osp.join(tmp, "flip_" + k + ".npy"), mode="w+",
+                    dtype=first[k].dtype, shape=(n,) + first[k].shape,
+                )
+
+            def work(i: int):
+                raw = self._load_raw(i)
+                item = self._process(raw, flip=False)
+                for k in keys:
+                    mm[k][i] = item[k]
+                if flip_keys:
+                    f = self._process(raw, flip=True)
+                    for k in flip_keys:
+                        mm["flip_" + k][i] = f[k]
+
+            # np.load and the ctypes/numpy pipeline release the GIL, so a
+            # thread pool scales the one-time build with host cores (rows
+            # are disjoint, so concurrent memmap writes don't race)
+            with ThreadPoolExecutor(
+                max_workers=min(os.cpu_count() or 1, 16)
+            ) as ex:
+                list(ex.map(work, range(n)))
+            for v in mm.values():
+                v.flush()
+            del mm
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                if not osp.isdir(path):
+                    raise  # rename failed for a real reason, not a race
+        finally:
+            if osp.isdir(tmp):
+                shutil.rmtree(tmp)  # build failed or another builder won
 
     def __repr__(self):
         return (
