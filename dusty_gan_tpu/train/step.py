@@ -46,8 +46,16 @@ def fetch_reals(batch: Dict[str, jax.Array], lidar, drop_const: float):
     STRICT min/max inequalities and zeroes everything else, so normalized
     valid depths are strictly positive and ``mask == (depth > 0)`` bit-
     exactly (tests/test_data.py::TestMaskInvariant). Deriving it on-device
-    halves the per-step host->device transfer."""
+    halves the per-step host->device transfer.
+
+    ``depth`` may arrive in a narrow wire dtype (``transfer_dtype:
+    float16`` halves transfer bytes again, opt-in) and is upcast to f32
+    here — the mask is derived AFTER the upcast, so only depths that
+    round to f16 zero (< 2^-24 normalized, i.e. within ~4 µm of
+    min_depth at KITTI scale) could flip it."""
     depth = batch["depth"]
+    if depth.dtype != jnp.float32:
+        depth = depth.astype(jnp.float32)
     if "mask" in batch:
         mask = batch["mask"].astype(depth.dtype)
     else:

@@ -46,6 +46,9 @@ class Trainer:
     def __init__(self, cfg, verbose: bool = True):
         self.cfg = cfg
         self.policy = policy_from_cfg(bool(cfg.get("enable_amp", True)))
+        # optional narrow wire dtype for host->device batches (see shard())
+        td = cfg.get("transfer_dtype")
+        self.transfer_dtype = np.dtype(td) if td else None
 
         # inject dataset shape into model config (trainers/dcgan_amp.py:45-46)
         cfg.model.gen.shape = list(cfg.dataset.shape)
@@ -189,9 +192,13 @@ class Trainer:
     def shard(self, batch: Dict[str, np.ndarray]):
         """Host batch -> device, sharded over the data mesh axis.  Only the
         keys present cross the wire; the train loader feeds depth alone and
-        the step derives mask = depth > 0 on-device (fetch_reals)."""
+        the step derives mask = depth > 0 on-device (fetch_reals).  With
+        ``transfer_dtype: float16`` the wire narrows to f16 (upcast
+        on-device in fetch_reals; opt-in, default bit-exact f32)."""
+        td = self.transfer_dtype
         return shard_batch(self.mesh, {
-            k: jnp.asarray(batch[k]) for k in ("depth", "mask") if k in batch
+            k: jnp.asarray(np.asarray(batch[k], td) if td else batch[k])
+            for k in ("depth", "mask") if k in batch
         })
 
     def device_iter(self, lookahead: int = 2, start_iteration: Optional[int] = None):

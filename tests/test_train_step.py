@@ -86,6 +86,26 @@ class TestFetchReals:
         np.testing.assert_array_equal(np.asarray(m_a), np.asarray(m_b))
 
 
+
+    def test_f16_transfer_close_to_f32(self):
+        """transfer_dtype=float16 path: depth arrives f16, is upcast
+        on-device, and one step lands close to the f32-wire step (the
+        wire rounding perturbs inputs by ~1e-4 relative)."""
+        step, state = build()
+        jstep = jax.jit(step)
+        rng = np.random.RandomState(7)
+        depth = rng.uniform(0.05, 1.0, (8, H, W, 1)).astype(np.float32)
+        depth[rng.uniform(size=depth.shape) < 0.2] = 0.0
+        b32 = {"depth": jnp.asarray(depth)}
+        b16 = {"depth": jnp.asarray(depth.astype(np.float16))}
+        s32, sc32 = jstep(state, b32, jax.random.PRNGKey(5))
+        s16, sc16 = jstep(state, b16, jax.random.PRNGKey(5))
+        for k in sc32:
+            a, b = float(sc32[k]), float(sc16[k])
+            assert np.isfinite(b), k
+            np.testing.assert_allclose(a, b, rtol=0.05, atol=5e-3), k
+
+
 class TestTrainStep:
     def test_losses_finite_and_params_move(self):
         step, state = build()
