@@ -51,8 +51,8 @@ def fetch_reals(batch: Dict[str, jax.Array], lidar, drop_const: float):
     ``depth`` may arrive in a narrow wire dtype (``transfer_dtype:
     float16`` halves transfer bytes again, opt-in) and is upcast to f32
     here — the mask is derived AFTER the upcast, so only depths that
-    round to f16 zero (< 2^-24 normalized, i.e. within ~4 µm of
-    min_depth at KITTI scale) could flip it."""
+    round-to-nearest to f16 zero (< 2^-25 normalized, i.e. within
+    ~3.6 µm of min_depth at KITTI scale) could flip it."""
     depth = batch["depth"]
     if depth.dtype != jnp.float32:
         depth = depth.astype(jnp.float32)

@@ -49,6 +49,13 @@ class Trainer:
         # optional narrow wire dtype for host->device batches (see shard())
         td = cfg.get("transfer_dtype")
         self.transfer_dtype = np.dtype(td) if td else None
+        if self.transfer_dtype is not None and not np.issubdtype(
+            self.transfer_dtype, np.floating
+        ):
+            raise ValueError(
+                f"transfer_dtype must be a floating dtype, got {td!r} "
+                "(an integer dtype would truncate normalized depths to 0)"
+            )
 
         # inject dataset shape into model config (trainers/dcgan_amp.py:45-46)
         cfg.model.gen.shape = list(cfg.dataset.shape)

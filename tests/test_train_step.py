@@ -103,7 +103,7 @@ class TestFetchReals:
         for k in sc32:
             a, b = float(sc32[k]), float(sc16[k])
             assert np.isfinite(b), k
-            np.testing.assert_allclose(a, b, rtol=0.05, atol=5e-3), k
+            np.testing.assert_allclose(a, b, rtol=0.05, atol=5e-3, err_msg=k)
 
 
 class TestTrainStep:
