@@ -323,8 +323,14 @@ class Trainer:
         b = -(-b // n_dev) * n_dev  # generation batch shards evenly
         z_sh = batch_sharding(self.mesh)
         fake_2d, fake_3d = [], []
+        # fresh latents per validation call (keyed on the training step, so
+        # deterministic given state): the reference draws fresh torch.randn
+        # every call (dcgan_amp.py:350-368); keying on step alone would
+        # score the same 128 latents forever and silently bias
+        # validation-driven checkpoint selection (round-3 verdict, weak #4)
+        step_key = jax.random.fold_in(self.root_key, int(self.state.step))
         for j in range(0, n_total, b):
-            key = jax.random.fold_in(self.root_key, 0xA000 + j)
+            key = jax.random.fold_in(step_key, 0xA000 + j)
             z = jax.device_put(
                 jax.random.normal(key, (b, int(self.cfg.model.gen.in_ch))), z_sh
             )

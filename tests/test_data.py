@@ -186,6 +186,28 @@ class TestLoader:
             batch = next(it)
         assert batch["depth"].shape[0] == 4
 
+    def test_abandoned_iterators_do_not_leak_threads(self, synth_root):
+        """Round-3 verdict weak #2: a producer blocked in q.put after its
+        consumer is abandoned must still terminate — N discarded iterators
+        may not strand N daemon threads (+ prefetch buffers)."""
+        import threading
+        import time
+
+        ds = KITTIOdometry(root=str(synth_root), split="train", shape=(64, 256))
+        loader = Loader(ds, batch_size=4, prefetch=2)
+        base = threading.active_count()
+        for k in range(8):
+            it = loader.iter_from(0)
+            next(it)  # producer running; it will fill the queue and block
+            if k % 2:
+                it.close()  # explicit close (SIGTERM / context-exit path)
+            else:
+                del it  # plain abandonment (GC finalizer path)
+        deadline = time.time() + 10.0
+        while threading.active_count() > base and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() == base
+
     def test_iter_from_continues_stream(self, synth_root):
         """Resume semantics: iter_from(k) must produce exactly the batches
         an uninterrupted run would see from global batch k onward —

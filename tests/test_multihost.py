@@ -115,6 +115,70 @@ def test_two_process_training(tmp_path):
     assert leaves and all(np.isfinite(l).all() for l in leaves if l.dtype.kind == "f")
 
 
+def test_one_rank_sigterm_stops_all_ranks(tmp_path):
+    """Round-3 verdict weak #3: SIGTERM delivered to ONE rank must stop the
+    whole pod — the stop is a collective decision (allgathered flag), so
+    the un-signaled rank may not be left blocked in its next collective
+    (the 30s gloo-timeout failure mode)."""
+    import signal
+    import time
+
+    root = build_synthetic_kitti(str(tmp_path / "data"), n_scans_per_seq=10, w0=512)
+    run_dir = str(tmp_path / "run")
+    repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+    argv = TINY + [
+        f"dataset.root={root}",
+        f"run_dir={run_dir}",
+        "total_iterations=100000",  # can only end via the preemption path
+        "multihost=1",
+        "preempt_sync=1",
+    ]
+    code = (
+        "import sys; from dusty_gan_tpu.cli.train import main; "
+        f"main({argv!r})"
+    )
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", code],
+            env=_scrubbed_env(4, i, port),
+            cwd=repo,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    try:
+        # wait until training is actually stepping (rank 0 logs scalars)
+        scal = osp.join(run_dir, "scalars.jsonl")
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            if osp.exists(scal) and os.path.getsize(scal) > 0:
+                break
+            for i, p in enumerate(procs):
+                assert p.poll() is None, f"rank {i} died before stepping"
+            time.sleep(0.5)
+        else:
+            raise AssertionError("training never produced scalars.jsonl")
+
+        procs[1].send_signal(signal.SIGTERM)  # signal the NON-main rank only
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {i} failed:\n{out[-4000:]}"
+    # rank 0 (never signaled) checkpointed and exited at the agreed boundary
+    assert "SIGTERM: checkpointed" in outs[0], outs[0][-2000:]
+    assert glob(osp.join(run_dir, "models", "checkpoint_*.ckpt"))
+
+
 def _leaves(tree):
     if isinstance(tree, dict):
         for v in tree.values():
