@@ -190,6 +190,17 @@ class RangeImageDataset:
         )
         flip_keys = list(self.FLIP_CACHE_KEYS) if self.flip else []
         if not osp.isdir(path):
+            # pre-round-3 caches were single resized_<key>.npz files with a
+            # differently-composed key; they are orphaned by the directory
+            # format and only waste disk — say so rather than silently
+            # rebuilding next to them
+            legacy = glob(osp.join(cache_dir, "resized_*.npz"))
+            if legacy:
+                print(
+                    f"note: {len(legacy)} legacy resized_*.npz cache file(s) "
+                    f"under {cache_dir} are superseded by the directory cache "
+                    "format and can be deleted"
+                )
             self._write_cache_dir(path, keys, flip_keys)
         self._cache = {
             k: np.load(osp.join(path, k + ".npy"), mmap_mode="r")

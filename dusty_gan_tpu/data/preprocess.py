@@ -228,14 +228,21 @@ def process_kitti_root(root_dir: str, H: int = 64, W: int = 2048,
             )
             tasks.append((point_path, save_path, H, W, label_path, label_save))
 
+    # spawn, not fork: callers are often multi-threaded by the time this
+    # runs (JAX init spins up dispatch threads) and fork-from-threads can
+    # deadlock the children (Python 3.12 warns on it)
+    import multiprocessing
+
+    mp_ctx = multiprocessing.get_context("spawn")
+
     if n_jobs > 1 and len(tasks) > 1:
         from concurrent.futures import ProcessPoolExecutor
 
         from dusty_gan_tpu.data import native
 
-        native.available()  # build librangeproj.so once before forking
+        native.available()  # build librangeproj.so once before the pool
         done = 0
-        with ProcessPoolExecutor(max_workers=n_jobs) as pool:
+        with ProcessPoolExecutor(max_workers=n_jobs, mp_context=mp_ctx) as pool:
             for _ in pool.map(_process_one, tasks, chunksize=8):
                 done += 1
                 if verbose and done % 1000 == 0:
@@ -257,7 +264,7 @@ def process_kitti_root(root_dir: str, H: int = 64, W: int = 2048,
         from concurrent.futures import ProcessPoolExecutor
         from functools import partial
 
-        with ProcessPoolExecutor(max_workers=n_jobs) as pool:
+        with ProcessPoolExecutor(max_workers=n_jobs, mp_context=mp_ctx) as pool:
             parts = list(pool.map(
                 partial(_angle_partials_for_paths, min_depth=0.9, max_depth=120.0),
                 _shards(paths, n_jobs),

@@ -199,6 +199,9 @@ def _pairwise_emd(pcs_1, pcs_2, batch_size: int, mesh=None,
     )
 
     n, m = pcs_1.shape[1], pcs_2.shape[1]
+    # reference compute_emd asserts N_1 == N_2 (cov_mmd_1nna.py:11-16); the
+    # /n normalization below is only the reference semantics for n == m
+    assert n == m, f"pairwise EMD needs equal point counts, got {n} != {m}"
     if _chamfer._use_pallas() and block_shapes_supported(n, m):
         n_dev = mesh.devices.size if mesh is not None else 1
         R, C = _block_dims(pcs_1.shape[0], pcs_2.shape[0], batch_size, n_dev)
