@@ -145,10 +145,17 @@ def main(argv=None):
     # On multi-process pods the stop must be a COLLECTIVE decision: a
     # scheduler may signal only some ranks, and a rank that returned alone
     # would leave the survivors blocked forever in their next collective
-    # (the gloo-timeout failure mode; round-3 verdict weak #3).  Ranks
-    # agree by allgathering the local flag every ``preempt_sync``
-    # iterations (override via preempt_sync=N) and all exit at the same
-    # loop boundary, with a barrier after the rank-0 checkpoint.
+    # (the gloo-timeout failure mode; round-3 verdict weak #3).  The vote
+    # rides INSIDE the jitted train step: each rank feeds its local flag
+    # as a data-axis-sharded "stop" input, the step returns the global max
+    # in scalars["stop/agreed"], and every rank reads that value at the
+    # same loop boundaries (every ``preempt_sync`` iterations) — so the
+    # agreement uses the step's own XLA collectives.  A separate
+    # host-level collective program (e.g. process_allgather) is NOT safe
+    # here: communicator/context ids are assigned in per-process creation
+    # order, and with async dispatch that order diverges across ranks,
+    # deadlocking both sides on keys the other never creates (observed as
+    # 30s gloo "GetKeyValue timed out" on the CPU rig).
     import signal
 
     stop_requested = []
@@ -160,38 +167,57 @@ def main(argv=None):
     multi = jax.process_count() > 1
     sync_every = int(extras.get("preempt_sync", 0) or
                      max(1, min(int(ckpt.save_stats), 100)))
+    if multi:
+        from dusty_gan_tpu.parallel.mesh import batch_sharding
 
-    def stop_agreed(i: int) -> bool:
+        _stop_sh = batch_sharding(trainer.mesh)
+        _n_local = sum(
+            1 for d in trainer.mesh.devices.flat if d.process_index == jax.process_index()
+        )
+
+    def local_stop_flags():
+        """This host's shard of the global per-device stop-flag vector."""
+        flag = np.full((_n_local,), 1.0 if stop_requested else 0.0, np.float32)
+        return jax.make_array_from_process_local_data(_stop_sh, flag)
+
+    def stop_agreed(i: int, last_scalars=None) -> bool:
         if not multi:
             return bool(stop_requested)
-        if i % sync_every != 0 and i != trainer.start_iteration + 1:
-            return False  # ranks only vote at shared boundaries
-        from jax.experimental import multihost_utils
-
-        flag = np.float32(1.0 if stop_requested else 0.0)
-        return bool(multihost_utils.process_allgather(flag).max() > 0)
+        if i % sync_every != 0 or last_scalars is None:
+            return False  # ranks only read the vote at shared boundaries
+        # every rank fetches the SAME reduced value from the same step, so
+        # the decision (and the exit iteration) is identical pod-wide
+        return float(last_scalars["stop/agreed"]) > 0.0
 
     it = trainer.device_iter()
     t_last = time.perf_counter()
     imgs_per_iter = trainer.batch_size
 
+    last_scalars = None
     for i in range(trainer.start_iteration + 1, total_iteration + 1):
-        if stop_agreed(i):
+        if stop_agreed(i, last_scalars):
             if is_main:
                 path = trainer.save(osp.join(run_dir, "models"),
                                     (i - 1) * imgs_per_iter)
                 print(f"SIGTERM: checkpointed at iteration {i - 1}: {path}")
                 logger.close()
             if multi:
-                from jax.experimental import multihost_utils
-
-                multihost_utils.sync_global_devices("preempt_exit")
+                # all ranks decided to stop at the same iteration; drain
+                # local work and let the coordination service's built-in
+                # shutdown barrier synchronize process exit (an explicit
+                # extra collective here would reintroduce the context-id
+                # race documented above)
+                jax.block_until_ready(last_scalars)
             signal.signal(signal.SIGTERM, prev_handler)
             return run_dir
         if profile_dir and i == trainer.start_iteration + 4:
             jax.profiler.start_trace(profile_dir)
         batch = next(it)
+        if multi:
+            batch = dict(batch)
+            batch["stop"] = local_stop_flags()
         scalars = trainer.step(i, batch)
+        last_scalars = scalars
         step_imgs = i * imgs_per_iter
         if profile_dir and i == trainer.start_iteration + 8:
             jax.block_until_ready(scalars)

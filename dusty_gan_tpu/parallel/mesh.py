@@ -31,6 +31,15 @@ def create_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def create_local_mesh(axis: str = DATA_AXIS) -> Mesh:
+    """Mesh over THIS process's devices only.  Computations on it issue no
+    cross-host collectives, so a single rank can run them alone — the mesh
+    for rank-local work (in-training validation) in multi-process runs,
+    the analog of the reference validating on rank 0's own GPU
+    (train.py:153-157)."""
+    return Mesh(np.asarray(jax.local_devices()), (axis,))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (batch) sharding over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

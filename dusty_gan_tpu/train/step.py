@@ -226,7 +226,16 @@ def make_train_step(
     # ------------------------------------------------------------------
     def train_step(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array):
         """batch: {"depth": (A*B,H,W,1) in [0,1]} (+ optional "mask";
-        absent -> derived on-device as depth > 0, see fetch_reals)."""
+        absent -> derived on-device as depth > 0, see fetch_reals).
+
+        Optional "stop" key: per-host preemption flags laid out over the
+        data axis; their global max comes back in scalars["stop/agreed"].
+        Folding the vote into this step means it rides the step's own
+        XLA collectives — a separate host-level collective program would
+        race the step's communicator-id assignment across ranks and
+        deadlock (see cli/train.py stop_agreed)."""
+        batch = dict(batch)
+        stop_flags = batch.pop("stop", None)
         x_real_flat, _ = fetch_reals(batch, lidar, drop_const)
         n = x_real_flat.shape[0]
         b = n // A
@@ -276,6 +285,8 @@ def make_train_step(
             pl_ema=pl_ema,
         )
         scalars = {**scalars_d, **scalars_g}
+        if stop_flags is not None:
+            scalars["stop/agreed"] = jnp.max(stop_flags)
         return new_state, scalars
 
     return train_step

@@ -31,7 +31,12 @@ from dusty_gan_tpu.metrics.jsd import compute_jsd
 from dusty_gan_tpu.metrics.swd import compute_swd
 from dusty_gan_tpu.models.dusty import DUSty1, DUSty2
 from dusty_gan_tpu.models.factory import define_D, define_G
-from dusty_gan_tpu.parallel.mesh import create_mesh, replicated, shard_batch
+from dusty_gan_tpu.parallel.mesh import (
+    create_local_mesh,
+    create_mesh,
+    replicated,
+    shard_batch,
+)
 from dusty_gan_tpu.train.checkpoint import (
     checkpoint_name,
     restore_checkpoint,
@@ -84,6 +89,14 @@ class Trainer:
 
         # mesh + batch bookkeeping (reference: train.py:52-57)
         self.mesh = create_mesh(cfg.get("num_devices"))
+        # validation runs on a host-LOCAL mesh: it is called from rank 0
+        # only (train.py cadence), so it must never issue cross-host
+        # collectives — the other ranks are busy training and a global-mesh
+        # metric computation would deadlock the pod (the reference
+        # validates on rank 0's own GPU, train.py:153-157)
+        self.eval_mesh = (
+            create_local_mesh() if jax.process_count() > 1 else self.mesh
+        )
         n_dev = self.mesh.devices.size
         self.batch_size = int(cfg.solver.batch_size)
         self.num_accumulation = int(cfg.solver.get("num_accumulation", 1))
@@ -243,6 +256,15 @@ class Trainer:
         Eval-mode semantics like the reference (G_ema.eval(): DUSty2
         thresholds its image-level mask; pixel noise still samples)."""
         params = self.state.params_G_ema if ema else self.state.params_G
+        if self.eval_mesh is not self.mesh:
+            # rank-local image logging must not dispatch onto the global
+            # mesh (other ranks are training; see validation())
+            params = jax.tree.map(
+                lambda x: jax.device_put(
+                    np.asarray(x), replicated(self.eval_mesh)
+                ),
+                params,
+            )
         z = self.fixed_latent if latent is None else latent
         key = jax.random.fold_in(self.root_key, 0x9E0) if key is None else key
         out = self.apply_g(params, z, key, self.policy.compute_dtype, train=train_mode)
@@ -271,7 +293,7 @@ class Trainer:
         seen = 0
         for batch in self.val_loader.epoch(0):
             sharded, orig_n = shard_eval_inputs(
-                self.mesh, {"depth": batch["depth"], "mask": batch["mask"]}
+                self.eval_mesh, {"depth": batch["depth"], "mask": batch["mask"]}
             )
             x_real, _ = fetch_reals(
                 sharded, self.lidar, float(self.cfg.model.gen.drop_const)
@@ -319,9 +341,19 @@ class Trainer:
 
         inv_to_pts = self._val_pts_fn()
         b = self.batch_size
-        n_dev = self.mesh.devices.size
+        n_dev = self.eval_mesh.devices.size
         b = -(-b // n_dev) * n_dev  # generation batch shards evenly
-        z_sh = batch_sharding(self.mesh)
+        z_sh = batch_sharding(self.eval_mesh)
+        params_ema = self.state.params_G_ema
+        if self.eval_mesh is not self.mesh:
+            # multi-process: hop the (replicated, so locally addressable)
+            # global-mesh params onto the host-local eval mesh
+            params_ema = jax.tree.map(
+                lambda x: jax.device_put(
+                    np.asarray(x), replicated(self.eval_mesh)
+                ),
+                params_ema,
+            )
         fake_2d, fake_3d = [], []
         # fresh latents per validation call (keyed on the training step, so
         # deterministic given state): the reference draws fresh torch.randn
@@ -335,7 +367,7 @@ class Trainer:
                 jax.random.normal(key, (b, int(self.cfg.model.gen.in_ch))), z_sh
             )
             out = self.apply_g(
-                self.state.params_G_ema, z, jax.random.fold_in(key, 1),
+                params_ema, z, jax.random.fold_in(key, 1),
                 self.policy.compute_dtype, train=False,  # G_ema.eval() semantics
             )
             # accumulate on HOST: keeping every batch's graph outputs live
@@ -352,7 +384,7 @@ class Trainer:
         scores.update(compute_swd(fake_2d, real_2d, key=jax.random.fold_in(self.root_key, 0x5D)))
         scores["jsd"] = compute_jsd(fake_3d / 2.0, real_3d / 2.0)
         scores.update(compute_cov_mmd_1nna(fake_3d, real_3d, 512, ("cd",),
-                                           mesh=self.mesh))
+                                           mesh=self.eval_mesh))
         return {k: float(v) for k, v in scores.items()}
 
     # ------------------------------------------------------------------

@@ -72,6 +72,12 @@ def test_two_process_training(tmp_path):
         f"run_dir={run_dir}",
         "total_iterations=4",
         "multihost=1",
+        # exercise rank-0 validation + image logging mid-run: both must run
+        # on the host-LOCAL eval mesh (no cross-host collectives) or the
+        # other rank deadlocks in its next step collective
+        "solver.checkpoint.test=4",
+        "solver.checkpoint.save_image=4",
+        "validate_samples=8",
     ]
     code = (
         "import sys; from dusty_gan_tpu.cli.train import main; "
@@ -100,6 +106,9 @@ def test_two_process_training(tmp_path):
     # the mesh must span BOTH processes: 8 global devices from 2x4 local
     assert "devices: 8" in rank0, rank0[-2000:]
     assert "iter 4/4" in rank0
+    # rank-0 validation ran (on the host-local eval mesh) without
+    # deadlocking rank 1
+    assert "validation:" in rank0
     # rank 0 wrote the run artifacts; rank 1 wrote nothing
     assert osp.exists(osp.join(run_dir, "scalars.jsonl"))
     ckpts = glob(osp.join(run_dir, "models", "checkpoint_*.ckpt"))
