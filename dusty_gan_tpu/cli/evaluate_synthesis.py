@@ -51,22 +51,31 @@ def main(argv=None):
     parser.add_argument("--cd-batch", type=int, default=512)
     parser.add_argument("--metrics", type=str, default="cd",
                         help="comma list: cd[,emd] (reference protocol: cd)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="pod mode: call jax.distributed.initialize and "
+                             "stripe the pairwise matrices across processes "
+                             "(launch the same command on every host)")
     args = parser.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
 
-    # single-process by design (the reference analog is one GPU /
-    # nn.DataParallel): under jax.distributed every process would
-    # redundantly recompute the identical scores and race on the
-    # real-tensor caches.  Run evaluation on one host; it already shards
-    # over all LOCAL devices (round-3 verdict, missing #3).
-    if jax.process_count() > 1:
-        raise SystemExit(
-            "evaluate_synthesis is single-process: run it on one host without "
-            "jax.distributed (it uses every local device); a multi-process "
-            "launch would duplicate all work and race on the eval caches"
-        )
+    if args.multihost:
+        from dusty_gan_tpu.parallel.mesh import init_distributed
+
+        init_distributed()
+
+    # Pod mode (jax.process_count() > 1, e.g. under jax.distributed on a
+    # multi-host slice): every process runs this same script; the cheap
+    # stages (real-tensor prep, generation, FPS, SWD/JSD) are computed
+    # redundantly per host on its LOCAL devices — bit-identical by
+    # construction (same keys) — and the dominant cost, the pairwise
+    # CD/EMD matrices, stripes block-rows across processes with one
+    # lockstep allgather per matrix (compute_cov_mmd_1nna process_shard).
+    # Rank 0 alone writes caches and result JSONs.  The reference runs
+    # all of this on one GPU (evaluate_synthesis.py:168-187).
+    pod = jax.process_count() > 1
+    is_main = jax.process_index() == 0
 
     from dusty_gan_tpu.data.datasets import define_dataset
     from dusty_gan_tpu.data.loader import Loader
@@ -78,15 +87,18 @@ def main(argv=None):
     from dusty_gan_tpu.utils.setup import make_eval_generator, setup
 
     from dusty_gan_tpu.parallel.mesh import (
-        batch_sharding, create_mesh, replicated, shard_eval_inputs,
+        batch_sharding, create_local_mesh, create_mesh, replicated,
+        shard_eval_inputs,
     )
 
     cfg, G, params, lidar, fixed_noise = setup(
         args.model_path, args.config_path, ema=True, fix_noise=True
     )
     # fan generation/FPS/preprocessing out over every local chip (the
-    # reference runs this on one GPU; the work is batch-parallel)
-    mesh = create_mesh()
+    # reference runs this on one GPU; the work is batch-parallel); in pod
+    # mode each process stays on its LOCAL devices except the one
+    # partial-matrix allgather per pairwise matrix
+    mesh = create_local_mesh() if pod else create_mesh()
     rep = replicated(mesh)
     params = jax.device_put(params, rep)
     if fixed_noise is not None:
@@ -135,9 +147,13 @@ def main(argv=None):
                 d2.append(np.asarray(inv)[:b])
                 d3.append(np.asarray(to_pts(inv, REAL_TOL))[:b])
             reals[subset] = {"2d": np.concatenate(d2), "3d": np.concatenate(d3)}
-            os.makedirs(osp.dirname(cache_path) or ".", exist_ok=True)
-            np.savez(cache_path, d2=reals[subset]["2d"], d3=reals[subset]["3d"])
-            print("cached:", cache_path)
+            if is_main:  # others computed identical tensors; don't race
+                os.makedirs(osp.dirname(cache_path) or ".", exist_ok=True)
+                tmp = cache_path + f".tmp.{os.getpid()}.npz"  # savez appends
+                # .npz to names without the suffix; keep it explicit
+                np.savez(tmp, d2=reals[subset]["2d"], d3=reals[subset]["3d"])
+                os.replace(tmp, cache_path)
+                print("cached:", cache_path)
 
     # uniform-stride subsample (evaluate_synthesis.py:102-110)
     for subset in ("train", "test"):
@@ -158,7 +174,8 @@ def main(argv=None):
         scores["jsd"] = compute_jsd(gen_3d / 2.0, ref_3d / 2.0)
         scores.update(
             compute_cov_mmd_1nna(gen_3d, ref_3d, args.cd_batch, metrics,
-                                 verbose=True, mesh=mesh)
+                                 verbose=is_main, mesh=mesh,
+                                 process_shard=pod)
         )
         return scores
 
@@ -168,11 +185,12 @@ def main(argv=None):
                        reals["test"]["2d"], reals["test"]["3d"])
         scores["#test"] = args.num_test
         scores["#points"] = args.num_points
-        pprint.pprint(scores)
-        gt_dir = f"outputs/logs/dataset={cfg.dataset.name}/gt/evaluation/tol=0"
-        os.makedirs(gt_dir, exist_ok=True)
-        with open(osp.join(gt_dir, f"{timestamp}.json"), "w") as f:
-            json.dump(scores, f, ensure_ascii=False, indent=4, sort_keys=True)
+        if is_main:
+            pprint.pprint(scores)
+            gt_dir = f"outputs/logs/dataset={cfg.dataset.name}/gt/evaluation/tol=0"
+            os.makedirs(gt_dir, exist_ok=True)
+            with open(osp.join(gt_dir, f"{timestamp}.json"), "w") as f:
+                json.dump(scores, f, ensure_ascii=False, indent=4, sort_keys=True)
         return scores
 
     # ------------------------------------------------------------- fakes
@@ -195,13 +213,13 @@ def main(argv=None):
     scores = score(fake_2d, fake_3d, reals["test"]["2d"], reals["test"]["3d"])
     scores["#test"] = args.num_test
     scores["#points"] = args.num_points
-    pprint.pprint(scores)
-
-    os.makedirs(args.save_dir_path, exist_ok=True)
-    save_path = osp.join(args.save_dir_path, f"{timestamp}.json")
-    with open(save_path, "w") as f:
-        json.dump(scores, f, ensure_ascii=False, indent=4, sort_keys=True)
-    print("Saved:", save_path)
+    if is_main:
+        pprint.pprint(scores)
+        os.makedirs(args.save_dir_path, exist_ok=True)
+        save_path = osp.join(args.save_dir_path, f"{timestamp}.json")
+        with open(save_path, "w") as f:
+            json.dump(scores, f, ensure_ascii=False, indent=4, sort_keys=True)
+        print("Saved:", save_path)
     return scores
 
 

@@ -51,26 +51,9 @@ def main(argv=None):
     # multi-process test rig) pass the rendezvous explicitly via
     # JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID.
     if extras.get("multihost") in ("1", "true", "True"):
-        import jax
+        from dusty_gan_tpu.parallel.mesh import init_distributed
 
-        if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-            # CPU backend needs an explicit cross-process collectives impl
-            jax.config.update("jax_cpu_collectives_implementation", "gloo")
-        kw = {}
-        trio = ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID")
-        if any(os.environ.get(k) for k in trio):
-            missing = [k for k in trio if not os.environ.get(k)]
-            if missing:
-                raise SystemExit(
-                    "multihost=1 with an explicit rendezvous needs all three of "
-                    f"{', '.join(trio)}; missing: {', '.join(missing)}"
-                )
-            kw = dict(
-                coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
-                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-                process_id=int(os.environ["JAX_PROCESS_ID"]),
-            )
-        jax.distributed.initialize(**kw)
+        init_distributed()
 
     config_dir = extras.get("config_dir", osp.join(osp.dirname(__file__), "../../configs"))
     cfg = compose(osp.abspath(config_dir), overrides)

@@ -75,15 +75,39 @@ def _pad_rows(p, target: int):
     return jnp.concatenate([jnp.asarray(p, jnp.float32), pad], axis=0)
 
 
+def _combine_process_partials(partial: np.ndarray) -> np.ndarray:
+    """Sum the disjoint per-process partial matrices (eval pod mode).
+
+    This is the ONE cross-host collective of a process-sharded pairwise
+    matrix; it runs in lockstep (every rank calls it exactly once per
+    matrix, in the same order), so it cannot hit the communicator-id
+    ordering race that forbids host-level collectives next to the async
+    train loop (see cli/train.py stop_agreed)."""
+    from jax.experimental import multihost_utils
+
+    return np.asarray(
+        multihost_utils.process_allgather(jnp.asarray(partial))
+    ).sum(axis=0)
+
+
 def _blocked_matrix(pcs_1, pcs_2, R: int, C: int, impl, symmetric: bool,
-                    verbose: bool, label: str) -> np.ndarray:
+                    verbose: bool, label: str,
+                    process_shard: bool = False) -> np.ndarray:
     """Fill the (B1, B2) matrix in (R, C) blocks through ``impl(rows,
     cols) -> (R, C)``.  Symmetric inputs compute only blocks touching the
-    upper triangle and mirror the rest."""
+    upper triangle and mirror the rest.
+
+    ``process_shard``: stripe block-rows round-robin across
+    ``jax.process_count()`` processes (each computing on its own local
+    mesh) and sum the disjoint partials at the end — near-linear pod
+    speedup of the dominant eval cost.  The reference's analog is
+    single-GPU (evaluate_synthesis.py:168-187)."""
     b1, b2 = pcs_1.shape[0], pcs_2.shape[0]
     b1p, b2p = -(-b1 // R) * R, -(-b2 // C) * C
     rows_all = _pad_rows(pcs_1, b1p)
     cols_all = _pad_rows(pcs_2, b2p)
+    pid = jax.process_index() if process_shard else 0
+    n_proc = jax.process_count() if process_shard else 1
 
     # pipelined dispatch: keep a window of blocks in flight and fetch the
     # oldest as new ones enqueue — the device computes block k+1 while
@@ -98,7 +122,9 @@ def _blocked_matrix(pcs_1, pcs_2, R: int, C: int, impl, symmetric: bool,
             i0, j0, blk = pending.pop(0)
             out[i0 : i0 + R, j0 : j0 + C] = np.asarray(blk)
 
-    for i in range(0, b1p, R):
+    for bi, i in enumerate(range(0, b1p, R)):
+        if bi % n_proc != pid:
+            continue  # another process fills this block-row
         rows = jax.lax.slice_in_dim(rows_all, i, i + R)
         for j in range(0, b2p, C):
             if symmetric and j + C <= i:
@@ -109,6 +135,8 @@ def _blocked_matrix(pcs_1, pcs_2, R: int, C: int, impl, symmetric: bool,
         if verbose:
             print(f"pairwise {label}: dispatched {min(i + R, b1)}/{b1}")
     drain(0)
+    if n_proc > 1:
+        out = _combine_process_partials(out)
     out = out[:b1, :b2]
     if symmetric:
         lower = np.tril_indices(b1, -1)
@@ -128,9 +156,10 @@ def _block_dims(b1: int, b2: int, col_chunk: int, n_dev: int):
 
 
 def _pairwise_cd_blocked(pcs_1, pcs_2, col_chunk: int, mesh=None,
-                         verbose: bool = False) -> np.ndarray:
+                         verbose: bool = False,
+                         process_shard: bool = False) -> np.ndarray:
     """Block-dispatched (B1,B2) symmetric-CD matrix; rows sharded over the
-    mesh when given."""
+    mesh when given (pass a LOCAL mesh with process_shard=True)."""
     n_dev = mesh.devices.size if mesh is not None else 1
     R, C = _block_dims(pcs_1.shape[0], pcs_2.shape[0], col_chunk, n_dev)
     symmetric = pcs_1 is pcs_2
@@ -141,7 +170,7 @@ def _pairwise_cd_blocked(pcs_1, pcs_2, col_chunk: int, mesh=None,
         try:
             return _blocked_matrix(
                 pcs_1, pcs_2, R, C, _make_cd_block_impl(True, mesh),
-                symmetric, verbose, "cd",
+                symmetric, verbose, "cd", process_shard,
             )
         except Exception as e:
             print(
@@ -152,12 +181,13 @@ def _pairwise_cd_blocked(pcs_1, pcs_2, col_chunk: int, mesh=None,
             _chamfer.LAST_DISPATCH = "xla"
     return _blocked_matrix(
         pcs_1, pcs_2, R, C, _make_cd_block_impl(False, mesh),
-        symmetric, verbose, "cd",
+        symmetric, verbose, "cd", process_shard,
     )
 
 
 def _pairwise_emd_rowwise(pcs_1, pcs_2, batch_size: int,
-                          verbose: bool) -> np.ndarray:
+                          verbose: bool,
+                          process_shard: bool = False) -> np.ndarray:
     """Dense-XLA fallback: one row of the matrix per dispatch (the (B, N,
     M) match state of the dense path bounds the batch).  Pins the DENSE
     implementation explicitly — this loop runs precisely when the Pallas
@@ -176,7 +206,11 @@ def _pairwise_emd_rowwise(pcs_1, pcs_2, batch_size: int,
 
     m = np.zeros((b1, b2), np.float32)
     symmetric = pcs_1 is pcs_2
+    pid = jax.process_index() if process_shard else 0
+    n_proc = jax.process_count() if process_shard else 1
     for i in range(b1):
+        if i % n_proc != pid:
+            continue  # another process fills this row (eval pod mode)
         one = pcs_1[i]
         j_start = (i // batch_size) * batch_size if symmetric else 0
         for j in range(j_start, b2, batch_size):
@@ -184,6 +218,8 @@ def _pairwise_emd_rowwise(pcs_1, pcs_2, batch_size: int,
             m[i, j : j + batch_size] = np.asarray(row_emd(one, chunk))
         if verbose and (i + 1) % 100 == 0:
             print(f"pairwise emd: {i + 1}/{b1}")
+    if n_proc > 1:
+        m = _combine_process_partials(m)
     if symmetric:
         lower = np.tril_indices(b1, -1)
         m[lower] = m.T[lower]
@@ -191,7 +227,8 @@ def _pairwise_emd_rowwise(pcs_1, pcs_2, batch_size: int,
 
 
 def _pairwise_emd(pcs_1, pcs_2, batch_size: int, mesh=None,
-                  verbose: bool = False) -> np.ndarray:
+                  verbose: bool = False,
+                  process_shard: bool = False) -> np.ndarray:
     """Pallas streaming-auction blocks on TPU (metrics/emd_pallas.py, rows
     mesh-sharded); dense-XLA row loop elsewhere."""
     from dusty_gan_tpu.metrics.emd_pallas import (
@@ -213,6 +250,7 @@ def _pairwise_emd(pcs_1, pcs_2, batch_size: int, mesh=None,
         try:
             return _blocked_matrix(
                 pcs_1, pcs_2, R, C, impl, pcs_1 is pcs_2, verbose, "emd",
+                process_shard,
             )
         except Exception as e:
             print(
@@ -220,17 +258,21 @@ def _pairwise_emd(pcs_1, pcs_2, batch_size: int, mesh=None,
                 f"({type(e).__name__}: {e}); falling back to the dense XLA "
                 f"row loop", file=sys.stderr, flush=True,
             )
-    return _pairwise_emd_rowwise(pcs_1, pcs_2, batch_size, verbose)
+    return _pairwise_emd_rowwise(pcs_1, pcs_2, batch_size, verbose,
+                                 process_shard)
 
 
 def _pairwise_distance(pcs_1, pcs_2, batch_size: int, metrics: Tuple[str, ...],
-                       verbose: bool = False, mesh=None):
+                       verbose: bool = False, mesh=None,
+                       process_shard: bool = False):
     """(B1,N,3),(B2,N,3) -> {metric: (B1,B2) np.ndarray}."""
     out = {}
     if "cd" in metrics:
-        out["cd"] = _pairwise_cd_blocked(pcs_1, pcs_2, batch_size, mesh, verbose)
+        out["cd"] = _pairwise_cd_blocked(pcs_1, pcs_2, batch_size, mesh,
+                                         verbose, process_shard)
     if "emd" in metrics:
-        out["emd"] = _pairwise_emd(pcs_1, pcs_2, batch_size, mesh, verbose)
+        out["emd"] = _pairwise_emd(pcs_1, pcs_2, batch_size, mesh, verbose,
+                                   process_shard)
     assert set(out) == set(metrics), (set(out), metrics)
     return out
 
@@ -285,14 +327,20 @@ def _compute_nna(m_rr, m_rg, m_gg, k: int = 1, sqrt: bool = False) -> Dict[str, 
 
 def compute_cov_mmd_1nna(
     pcs_gen, pcs_ref, batch_size: int, metrics: Tuple[str, ...] = ("cd",),
-    verbose: bool = False, mesh=None,
+    verbose: bool = False, mesh=None, process_shard: bool = False,
 ) -> Dict[str, float]:
     """(cov_mmd_1nna.py:109-139).  ``mesh``: shard the pairwise-matrix row
-    axis over the data mesh (the reference runs this stage on one GPU)."""
+    axis over the data mesh (the reference runs this stage on one GPU).
+    ``process_shard``: additionally stripe block-rows across
+    ``jax.process_count()`` processes — pass a host-LOCAL mesh then, and
+    call from ALL processes in lockstep (eval pod mode)."""
     assert isinstance(metrics, tuple)
-    m_rr = _pairwise_distance(pcs_ref, pcs_ref, batch_size, metrics, verbose, mesh)
-    m_rg = _pairwise_distance(pcs_ref, pcs_gen, batch_size, metrics, verbose, mesh)
-    m_gg = _pairwise_distance(pcs_gen, pcs_gen, batch_size, metrics, verbose, mesh)
+    m_rr = _pairwise_distance(pcs_ref, pcs_ref, batch_size, metrics, verbose,
+                              mesh, process_shard)
+    m_rg = _pairwise_distance(pcs_ref, pcs_gen, batch_size, metrics, verbose,
+                              mesh, process_shard)
+    m_gg = _pairwise_distance(pcs_gen, pcs_gen, batch_size, metrics, verbose,
+                              mesh, process_shard)
 
     results: Dict[str, float] = {}
     for metric in metrics:

@@ -97,6 +97,35 @@ def shard_eval_inputs(mesh: Mesh, batch_tree, replicated_tree=None):
     return (sharded, n), rep
 
 
+def init_distributed():
+    """``jax.distributed.initialize`` with the environment conventions
+    shared by the train and eval CLIs: on TPU pods the cluster is
+    auto-detected; elsewhere (incl. the CPU multi-process test rig) pass
+    the rendezvous explicitly via JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID.  Replaces the reference's
+    mp.spawn + NCCL file-store rendezvous (train.py:37-50)."""
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # CPU backend needs an explicit cross-process collectives impl
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    kw = {}
+    trio = ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID")
+    if any(os.environ.get(k) for k in trio):
+        missing = [k for k in trio if not os.environ.get(k)]
+        if missing:
+            raise SystemExit(
+                "multihost with an explicit rendezvous needs all three of "
+                f"{', '.join(trio)}; missing: {', '.join(missing)}"
+            )
+        kw = dict(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+    jax.distributed.initialize(**kw)
+
+
 def local_batch_slice(global_batch: int, process_index: Optional[int] = None,
                       process_count: Optional[int] = None) -> slice:
     """This host's slice of the global batch (replaces DistributedSampler,

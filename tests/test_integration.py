@@ -258,18 +258,20 @@ class TestTrainCLI:
 
 class TestEvalGuards:
     def test_eval_clis_refuse_multiprocess(self, monkeypatch):
-        """Round-3 verdict missing #3: the eval CLIs are single-process by
-        design; under jax.distributed they must fail fast with a clear
-        message instead of duplicating work and racing on caches."""
+        """Round-3 verdict missing #3: reconstruction eval and the
+        tolerance tuner are single-process by design; under
+        jax.distributed they must fail fast with a clear message instead
+        of duplicating work and racing on caches.  (evaluate_synthesis is
+        pod-aware for real — tests/test_multihost.py proves 2-process
+        scores match single-process.)"""
         import jax
 
         from dusty_gan_tpu.cli.evaluate_reconstruction import main as rec_main
-        from dusty_gan_tpu.cli.evaluate_synthesis import main as syn_main
         from dusty_gan_tpu.cli.tune_tolerance import main as tune_main
 
         monkeypatch.setattr(jax, "process_count", lambda: 2)
         argv = ["--model-path", "x.ckpt", "--config-path", "y.yaml"]
-        for main in (syn_main, rec_main, tune_main):
+        for main in (rec_main, tune_main):
             with pytest.raises(SystemExit, match="single-process"):
                 main(argv)  # guard fires before any path is touched
 

@@ -188,6 +188,82 @@ def test_one_rank_sigterm_stops_all_ranks(tmp_path):
     assert glob(osp.join(run_dir, "models", "checkpoint_*.ckpt"))
 
 
+def _scrubbed_single_env(n_local_devices: int) -> dict:
+    """Like _scrubbed_env but WITHOUT the distributed rendezvous trio —
+    a plain single-process CPU environment."""
+    env = _scrubbed_env(n_local_devices, 0, 1)
+    for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+        env.pop(k, None)
+    return env
+
+
+def test_two_process_eval_matches_single(tmp_path):
+    """Pod-mode evaluate_synthesis (round-3 verdict missing #3, the
+    'real' option): 2 processes stripe the pairwise-matrix block-rows on
+    their local meshes and allgather the partials — scores must match the
+    single-process run on the same checkpoint."""
+    import json as _json
+
+    root = build_synthetic_kitti(str(tmp_path / "data"), n_scans_per_seq=10, w0=512)
+    run_dir = str(tmp_path / "run")
+    repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+    # a tiny single-process training run to get a checkpoint + config
+    train_argv = TINY + [
+        f"dataset.root={root}", f"run_dir={run_dir}", "total_iterations=4",
+    ]
+    train_code = f"from dusty_gan_tpu.cli.train import main; main({train_argv!r})"
+    p = subprocess.run(
+        [sys.executable, "-c", train_code], env=_scrubbed_single_env(8),
+        cwd=repo, capture_output=True, text=True, timeout=800,
+    )
+    assert p.returncode == 0, p.stdout[-3000:] + p.stderr[-3000:]
+    ckpt = sorted(glob(osp.join(run_dir, "models", "checkpoint_*.ckpt")))[-1]
+
+    eval_argv = [
+        "--model-path", ckpt,
+        "--config-path", osp.join(run_dir, ".hydra", "config.yaml"),
+        "--num-test", "8", "--num-points", "64", "--cd-batch", "8",
+    ]
+
+    def run_eval(save_dir, env, extra=()):
+        code = (
+            "from dusty_gan_tpu.cli.evaluate_synthesis import main; "
+            f"main({eval_argv + list(extra) + ['--save-dir-path', save_dir]!r})"
+        )
+        return subprocess.Popen(
+            [sys.executable, "-c", code], env=env, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+
+    # single-process reference scores (8 local devices; writes the cache)
+    p1 = run_eval(str(tmp_path / "single"), _scrubbed_single_env(8))
+    out1, _ = p1.communicate(timeout=800)
+    assert p1.returncode == 0, out1[-3000:]
+
+    # two-process pod run (4+4 local devices; loads the same cache)
+    port = _free_port()
+    procs = [
+        run_eval(str(tmp_path / "pod"), _scrubbed_env(4, i, port),
+                 extra=["--multihost"])
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=800)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {i} failed:\n{out[-3000:]}"
+
+    [f_single] = glob(str(tmp_path / "single" / "*.json"))
+    [f_pod] = glob(str(tmp_path / "pod" / "*.json"))  # rank 0 only wrote
+    s1 = _json.load(open(f_single))
+    s2 = _json.load(open(f_pod))
+    assert set(s1) == set(s2)
+    for k, v in s1.items():
+        np.testing.assert_allclose(s2[k], v, rtol=1e-4, atol=1e-5, err_msg=k)
+
+
 def _leaves(tree):
     if isinstance(tree, dict):
         for v in tree.values():
