@@ -17,6 +17,12 @@ batch sharded over the full data mesh (the inversion is embarrassingly
 parallel over samples) and params/fixed-noise replicated — every local chip
 works. Compiled once per batch *shape*: references are passed as arguments,
 not closed over, so identical-shape batches hit the jit cache.
+
+Pod mode (``--multihost`` under jax.distributed): test batches stripe
+round-robin across processes, each inverting on its LOCAL mesh; per-sample
+results merge with one lockstep allgather at the end and rank 0 writes the
+CSV — near-linear multi-host speedup of a stage the reference bounds to
+one machine.
 """
 
 from __future__ import annotations
@@ -28,6 +34,35 @@ import os.path as osp
 from collections import defaultdict
 
 import numpy as np
+
+# fixed column order: every rank must build identically-shaped rows for
+# the lockstep merge, even ranks that processed zero batches
+RESULT_KEYS = ("cd", "accuracy_1", "accuracy_2", "accuracy_3", "rmse",
+               "rmse_log", "abs_rel", "sq_rel", "tol", "drop_gen",
+               "drop_ref", "index")
+
+
+def _merge_process_results(results):
+    """Merge per-sample result rows from all processes (pod mode): pad
+    each rank's rows to the global max count, allgather once (lockstep —
+    safe, see metrics/cov_mmd_1nna._combine_process_partials), strip the
+    padding via per-rank counts, and re-sort by global sample index.
+    Returns a dict without the index column (CSV format parity)."""
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    vals = np.asarray([results[k] for k in RESULT_KEYS], np.float32).T
+    vals = vals.reshape(-1, len(RESULT_KEYS))  # (0, K) stays 2-D when empty
+    counts = np.asarray(multihost_utils.process_allgather(
+        jnp.asarray([vals.shape[0]], jnp.int32)))[:, 0]
+    m = int(counts.max())
+    pad = np.zeros((m - vals.shape[0], len(RESULT_KEYS)), np.float32)
+    gathered = np.asarray(multihost_utils.process_allgather(
+        jnp.asarray(np.concatenate([vals, pad], axis=0))))
+    rows = np.concatenate([gathered[p, : counts[p]] for p in range(len(counts))])
+    rows = rows[np.argsort(rows[:, RESULT_KEYS.index("index")], kind="stable")]
+    return {k: rows[:, i].tolist() for i, k in enumerate(RESULT_KEYS)
+            if k != "index"}
 
 
 def main(argv=None):
@@ -41,22 +76,27 @@ def main(argv=None):
     parser.add_argument("--distance", default="l1", choices=["l1", "l2"])
     parser.add_argument("--num-step", type=int, default=1000)
     parser.add_argument("--max-batches", type=int, default=-1)
+    parser.add_argument("--multihost", action="store_true",
+                        help="pod mode: call jax.distributed.initialize and "
+                             "stripe test batches across processes (launch "
+                             "the same command on every host)")
     args = parser.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
 
-    # single-process by design (the reference analog is one GPU /
-    # nn.DataParallel): under jax.distributed every process would
-    # redundantly recompute the identical scores and race on the
-    # real-tensor caches.  Run evaluation on one host; it already shards
-    # over all LOCAL devices (round-3 verdict, missing #3).
-    if jax.process_count() > 1:
+    if args.multihost:
+        from dusty_gan_tpu.parallel.mesh import init_distributed
+
+        init_distributed()
+    pod = jax.process_count() > 1
+    if pod and not args.multihost:
         raise SystemExit(
-            "evaluate_reconstruction is single-process: run it on one host without "
-            "jax.distributed (it uses every local device); a multi-process "
-            "launch would duplicate all work and race on the eval caches"
+            "evaluate_reconstruction under jax.distributed needs an explicit "
+            "--multihost (pod mode stripes batches across processes); a "
+            "plain multi-process launch would duplicate all work"
         )
+    is_main = jax.process_index() == 0
 
     from dusty_gan_tpu.data.datasets import define_dataset
     from dusty_gan_tpu.data.loader import Loader
@@ -69,13 +109,14 @@ def main(argv=None):
     from dusty_gan_tpu.utils.setup import make_eval_generator, setup
 
     from dusty_gan_tpu.parallel.mesh import (
-        batch_sharding, create_mesh, replicated, shard_eval_inputs,
+        batch_sharding, create_local_mesh, create_mesh, replicated,
+        shard_eval_inputs,
     )
 
     cfg, G, params, lidar, fixed_noise = setup(
         args.model_path, args.config_path, ema=True, fix_noise=True
     )
-    mesh = create_mesh()
+    mesh = create_local_mesh() if pod else create_mesh()
     rep = replicated(mesh)
     params = jax.device_put(params, rep)
     if fixed_noise is not None:
@@ -97,9 +138,13 @@ def main(argv=None):
         return make_inversion_loop(loss_fn, num_steps=args.num_step, lr=0.1)(z0, key)
 
     results = defaultdict(list)
+    pid = jax.process_index() if pod else 0
+    n_proc = jax.process_count() if pod else 1
     for bi, batch in enumerate(loader.epoch(0)):
         if args.max_batches >= 0 and bi >= args.max_batches:
             break
+        if bi % n_proc != pid:
+            continue  # another process inverts this batch (pod mode)
         depth = np.asarray(batch["depth"])
         mask = np.asarray(batch["mask"])
         sharded, b = shard_eval_inputs(
@@ -111,9 +156,12 @@ def main(argv=None):
         xyz_ref = sharded["xyz"]
         bp = inv_ref.shape[0]  # padded batch (multiple of mesh size)
 
+        # draw z0 for the TRUE rows then edge-pad: results are invariant
+        # to the mesh-size padding (and therefore to device/process count)
+        z0_host = np.asarray(jax.random.normal(
+            jax.random.fold_in(jax.random.PRNGKey(1), bi), (b, in_ch)))
         z0 = jax.device_put(
-            np.asarray(jax.random.normal(
-                jax.random.fold_in(jax.random.PRNGKey(1), bi), (bp, in_ch))),
+            np.pad(z0_host, [(0, bp - b), (0, 0)], mode="edge"),
             batch_sharding(mesh),
         )
         z_star, _ = invert(z0, jax.random.fold_in(jax.random.PRNGKey(2), bi),
@@ -147,8 +195,16 @@ def main(argv=None):
         results["drop_ref"] += np.asarray(
             (1 - mask_ref).sum(axis=(1, 2, 3)) / (h * w)
         )[:b].tolist()
+        results["index"] += list(range(bi * args.batch_size,
+                                       bi * args.batch_size + b))
         print(f"batch {bi}: cd={np.mean(results['cd']):.5f}")
 
+    if pod:
+        results = _merge_process_results(results)
+    else:
+        results.pop("index", None)
+    if not is_main:
+        return results
     os.makedirs(args.save_dir_path, exist_ok=True)
     timestamp = datetime.datetime.now().isoformat()
     save_path = osp.join(args.save_dir_path, f"{timestamp}.csv")

@@ -197,18 +197,14 @@ def _scrubbed_single_env(n_local_devices: int) -> dict:
     return env
 
 
-def test_two_process_eval_matches_single(tmp_path):
-    """Pod-mode evaluate_synthesis (round-3 verdict missing #3, the
-    'real' option): 2 processes stripe the pairwise-matrix block-rows on
-    their local meshes and allgather the partials — scores must match the
-    single-process run on the same checkpoint."""
-    import json as _json
-
-    root = build_synthetic_kitti(str(tmp_path / "data"), n_scans_per_seq=10, w0=512)
-    run_dir = str(tmp_path / "run")
+@pytest.fixture(scope="module")
+def trained_run_mh(tmp_path_factory):
+    """One tiny single-process training run shared by the pod-eval parity
+    tests: returns (checkpoint path, config path)."""
+    tmp = tmp_path_factory.mktemp("mh_eval")
+    root = build_synthetic_kitti(str(tmp / "data"), n_scans_per_seq=10, w0=512)
+    run_dir = str(tmp / "run")
     repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
-
-    # a tiny single-process training run to get a checkpoint + config
     train_argv = TINY + [
         f"dataset.root={root}", f"run_dir={run_dir}", "total_iterations=4",
     ]
@@ -219,10 +215,22 @@ def test_two_process_eval_matches_single(tmp_path):
     )
     assert p.returncode == 0, p.stdout[-3000:] + p.stderr[-3000:]
     ckpt = sorted(glob(osp.join(run_dir, "models", "checkpoint_*.ckpt")))[-1]
+    return ckpt, osp.join(run_dir, ".hydra", "config.yaml")
+
+
+def test_two_process_eval_matches_single(tmp_path, trained_run_mh):
+    """Pod-mode evaluate_synthesis (round-3 verdict missing #3, the
+    'real' option): 2 processes stripe the pairwise-matrix block-rows on
+    their local meshes and allgather the partials — scores must match the
+    single-process run on the same checkpoint."""
+    import json as _json
+
+    ckpt, config_path = trained_run_mh
+    repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
 
     eval_argv = [
         "--model-path", ckpt,
-        "--config-path", osp.join(run_dir, ".hydra", "config.yaml"),
+        "--config-path", config_path,
         "--num-test", "8", "--num-points", "64", "--cd-batch", "8",
     ]
 
@@ -262,6 +270,63 @@ def test_two_process_eval_matches_single(tmp_path):
     assert set(s1) == set(s2)
     for k, v in s1.items():
         np.testing.assert_allclose(s2[k], v, rtol=1e-4, atol=1e-5, err_msg=k)
+
+
+def test_two_process_reconstruction_matches_single(tmp_path, trained_run_mh):
+    """Pod-mode evaluate_reconstruction: test batches stripe across 2
+    processes (each on its local mesh), per-sample rows merge via one
+    lockstep allgather — the CSV must match the single-process run."""
+    import csv as _csv
+
+    ckpt, config_path = trained_run_mh
+    repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+    rec_argv = [
+        "--model-path", ckpt,
+        "--config-path", config_path,
+        "--batch-size", "4", "--num-step", "3",
+    ]
+
+    def run_rec(save_dir, env, extra=()):
+        code = (
+            "from dusty_gan_tpu.cli.evaluate_reconstruction import main; "
+            f"main({rec_argv + list(extra) + ['--save-dir-path', save_dir]!r})"
+        )
+        return subprocess.Popen(
+            [sys.executable, "-c", code], env=env, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+
+    p1 = run_rec(str(tmp_path / "single"), _scrubbed_single_env(8))
+    out1, _ = p1.communicate(timeout=800)
+    assert p1.returncode == 0, out1[-3000:]
+
+    port = _free_port()
+    procs = [
+        run_rec(str(tmp_path / "pod"), _scrubbed_env(4, i, port),
+                extra=["--multihost"])
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=800)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {i} failed:\n{out[-3000:]}"
+
+    def read_csv(d):
+        [f] = glob(str(d / "*.csv"))
+        with open(f) as fh:
+            rows = list(_csv.reader(fh))
+        header, data = rows[0], rows[1:]
+        return header, np.asarray([[float(x) for x in r[1:]] for r in data])
+
+    h1, v1 = read_csv(tmp_path / "single")
+    h2, v2 = read_csv(tmp_path / "pod")  # rank 0 only wrote
+    assert h1 == h2
+    assert v1.shape == v2.shape  # 10 test scans -> batches of 4,4,2
+    # pod rows are f32-rounded by the allgather; compare loosely
+    np.testing.assert_allclose(v2, v1, rtol=1e-4, atol=1e-5)
 
 
 def _leaves(tree):
