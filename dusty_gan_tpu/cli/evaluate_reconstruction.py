@@ -49,16 +49,15 @@ def _merge_process_results(results):
     padding via per-rank counts, and re-sort by global sample index.
     Returns a dict without the index column (CSV format parity)."""
     import jax.numpy as jnp
-    from jax.experimental import multihost_utils
+
+    from dusty_gan_tpu.parallel.mesh import pod_allgather
 
     vals = np.asarray([results[k] for k in RESULT_KEYS], np.float32).T
     vals = vals.reshape(-1, len(RESULT_KEYS))  # (0, K) stays 2-D when empty
-    counts = np.asarray(multihost_utils.process_allgather(
-        jnp.asarray([vals.shape[0]], jnp.int32)))[:, 0]
+    counts = pod_allgather(jnp.asarray([vals.shape[0]], jnp.int32))[:, 0]
     m = int(counts.max())
     pad = np.zeros((m - vals.shape[0], len(RESULT_KEYS)), np.float32)
-    gathered = np.asarray(multihost_utils.process_allgather(
-        jnp.asarray(np.concatenate([vals, pad], axis=0))))
+    gathered = pod_allgather(jnp.asarray(np.concatenate([vals, pad], axis=0)))
     rows = np.concatenate([gathered[p, : counts[p]] for p in range(len(counts))])
     rows = rows[np.argsort(rows[:, RESULT_KEYS.index("index")], kind="stable")]
     return {k: rows[:, i].tolist() for i, k in enumerate(RESULT_KEYS)

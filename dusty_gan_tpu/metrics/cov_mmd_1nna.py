@@ -83,11 +83,9 @@ def _combine_process_partials(partial: np.ndarray) -> np.ndarray:
     matrix, in the same order), so it cannot hit the communicator-id
     ordering race that forbids host-level collectives next to the async
     train loop (see cli/train.py stop_agreed)."""
-    from jax.experimental import multihost_utils
+    from dusty_gan_tpu.parallel.mesh import pod_allgather
 
-    return np.asarray(
-        multihost_utils.process_allgather(jnp.asarray(partial))
-    ).sum(axis=0)
+    return pod_allgather(jnp.asarray(partial)).sum(axis=0)
 
 
 def _blocked_matrix(pcs_1, pcs_2, R: int, C: int, impl, symmetric: bool,

@@ -124,6 +124,27 @@ def init_distributed():
             process_id=int(os.environ["JAX_PROCESS_ID"]),
         )
     jax.distributed.initialize(**kw)
+    if jax.process_count() > 1:
+        # establish the tiny barrier communicator NOW, while every rank is
+        # at the same program point: context creation has a 30s rendezvous
+        # timeout (gloo CPU rig), and later per-rank work (compiles, uneven
+        # batch stripes) can skew ranks far past it
+        from jax.experimental import multihost_utils
+
+        multihost_utils.process_allgather(np.zeros((1,), np.float32))
+
+
+def pod_allgather(x) -> np.ndarray:
+    """``process_allgather`` for pod-eval merges, preceded by a fixed-shape
+    barrier allgather: the barrier rides the communicator established in
+    ``init_distributed`` (same shape/dtype -> cached executable), so ranks
+    enter the data allgather's new-context rendezvous synchronized instead
+    of arbitrarily skewed (the 30s gloo GetKeyValue timeout otherwise
+    fires when one rank is still compiling its last work item)."""
+    from jax.experimental import multihost_utils
+
+    multihost_utils.process_allgather(np.zeros((1,), np.float32))
+    return np.asarray(multihost_utils.process_allgather(x))
 
 
 def local_batch_slice(global_batch: int, process_index: Optional[int] = None,
