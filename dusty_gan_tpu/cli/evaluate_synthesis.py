@@ -196,17 +196,26 @@ def main(argv=None):
     # ------------------------------------------------------------- fakes
     n_test = len(reals["test"]["2d"])
     key = jax.random.PRNGKey(0)
+    in_ch = int(cfg.model.gen.in_ch)
+
+    # one latent per global SAMPLE index (vmapped fold_in), not per
+    # padded batch: scores are invariant to device/process count — the
+    # mesh-size padding below only edge-copies rows that get trimmed
+    z_of = jax.jit(jax.vmap(
+        lambda i: jax.random.normal(jax.random.fold_in(key, i), (in_ch,))
+    ))
     f2, f3 = [], []
     gen_batch = -(-batch_size // mesh.devices.size) * mesh.devices.size
     for i in range(0, n_test, gen_batch):
+        n = min(gen_batch, n_test - i)
+        z_host = np.asarray(z_of(jnp.arange(i, i + n)))
         z = jax.device_put(
-            np.asarray(jax.random.normal(
-                jax.random.fold_in(key, i), (gen_batch, int(cfg.model.gen.in_ch)))),
+            np.pad(z_host, [(0, gen_batch - n), (0, 0)], mode="edge"),
             batch_sharding(mesh),
         )
         inv = gen(z)["depth"]
-        f2.append(np.asarray(inv))
-        f3.append(np.asarray(to_pts(inv, args.tol)))
+        f2.append(np.asarray(inv)[:n])
+        f3.append(np.asarray(to_pts(inv, args.tol))[:n])
     fake_2d = jnp.asarray(np.concatenate(f2)[:n_test])
     fake_3d = jnp.asarray(np.concatenate(f3)[:n_test])
 

@@ -272,6 +272,42 @@ def test_two_process_eval_matches_single(tmp_path, trained_run_mh):
         np.testing.assert_allclose(s2[k], v, rtol=1e-4, atol=1e-5, err_msg=k)
 
 
+def test_eval_scores_device_count_invariant(tmp_path, trained_run_mh):
+    """Latents are keyed per global sample index (not per padded batch),
+    so evaluate_synthesis must score identically on any mesh size — the
+    property that makes published eval numbers reproducible off the
+    original hardware."""
+    import json as _json
+
+    ckpt, config_path = trained_run_mh
+    repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+    eval_argv = [
+        "--model-path", ckpt,
+        "--config-path", config_path,
+        "--num-test", "8", "--num-points", "64", "--cd-batch", "8",
+    ]
+    scores = {}
+    for n_dev in (8, 2):
+        save = str(tmp_path / f"dev{n_dev}")
+        code = (
+            "from dusty_gan_tpu.cli.evaluate_synthesis import main; "
+            f"main({eval_argv + ['--save-dir-path', save]!r})"
+        )
+        p = subprocess.run(
+            [sys.executable, "-c", code], env=_scrubbed_single_env(n_dev),
+            cwd=repo, capture_output=True, text=True, timeout=800,
+        )
+        assert p.returncode == 0, p.stdout[-3000:] + p.stderr[-3000:]
+        [f] = glob(osp.join(save, "*.json"))
+        scores[n_dev] = _json.load(open(f))
+
+    assert set(scores[8]) == set(scores[2])
+    for k, v in scores[8].items():
+        np.testing.assert_allclose(scores[2][k], v, rtol=1e-4, atol=1e-5,
+                                   err_msg=k)
+
+
 def test_two_process_reconstruction_matches_single(tmp_path, trained_run_mh):
     """Pod-mode evaluate_reconstruction: test batches stripe across 2
     processes (each on its local mesh), per-sample rows merge via one
