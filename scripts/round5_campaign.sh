@@ -1,0 +1,147 @@
+#!/bin/bash
+# Round-5 orchestrator: owns the whole chip session end-to-end so zero
+# chip time is lost to tunnel flapping (the axon tunnel was down for the
+# final ~11h of round 4; it can drop at any moment and return hours
+# later).  Sequence:
+#   1. bench_early  — secure the headline perf number the moment the
+#                     tunnel is up (round 4 ended with no bench at all)
+#   2. flagship     — resume the 10x-data run from its newest checkpoint
+#                     to 5.12M images (self-healing relaunch loop)
+#   3. eval campaign — best-ckpt selection -> 100-trial tolerance tune ->
+#                     tol=0 vs tuned evals -> full 5,000-sample protocol
+#                     -> measured 1000^2 EMD anchor
+# Every stage leaves an .ok stamp in $OUT and is skipped on re-runs, so
+# a mid-campaign outage resumes at the failed stage, not from scratch.
+# Stages get 5 attempts (tunnel probes gate each) before being .skip-ed.
+cd /root/repo
+export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
+OUT=/tmp/round5
+RUN=/tmp/long3/run2
+CFG=$RUN/.hydra/config.yaml
+TARGET_CKPT=$RUN/models/checkpoint_0005120000.ckpt
+mkdir -p $OUT
+say() { echo "$(date) $*" >> $OUT/campaign.log; }
+
+tunnel_up() { timeout 120 python -c "import jax; jax.devices()" >/dev/null 2>&1; }
+wait_tunnel() {
+  until tunnel_up; do say "tunnel down"; sleep 60; done
+  say "tunnel up"
+}
+
+stage() { # stage <name> <cmd...> — run once, stamp .ok on rc=0
+  local name=$1; shift
+  [ -f $OUT/$name.ok ] || [ -f $OUT/$name.skip ] && return 0
+  local tries=$(cat $OUT/$name.try 2>/dev/null || echo 0)
+  if [ "$tries" -ge 5 ]; then
+    say "stage $name: giving up after $tries attempts"
+    touch $OUT/$name.skip
+    return 1
+  fi
+  echo $((tries + 1)) > $OUT/$name.try
+  wait_tunnel
+  say "stage $name: attempt $((tries + 1))"
+  local t0=$(date +%s)
+  "$@" > $OUT/$name.log 2>&1
+  local rc=$?
+  echo "WALL $(( $(date +%s) - t0 ))s rc=$rc $name" >> $OUT/walls.txt
+  say "stage $name: rc=$rc"
+  [ $rc -eq 0 ] && touch $OUT/$name.ok
+  return $rc
+}
+
+# ---------------------------------------------------------- 1. bench
+bench_early() {
+  timeout 3600 python bench.py > $OUT/bench_early.raw 2>&1 || return 1
+  grep -h '"metric"' $OUT/bench_early.raw | tail -1 > $OUT/bench_early.json
+  [ -s $OUT/bench_early.json ]
+}
+stage bench_early bench_early
+
+# ---------------------------------------------------------- 2. flagship
+# Same loop as watch_tunnel.sh: relaunch cli.train from the newest
+# checkpoint until the 5.12M-image checkpoint exists.
+while [ ! -f "$TARGET_CKPT" ]; do
+  pid=$(cat /tmp/long3/run2.pid 2>/dev/null)
+  if [ -n "$pid" ] && kill -0 "$pid" 2>/dev/null; then
+    sleep 120; continue
+  fi
+  if ! tunnel_up; then
+    say "flagship: tunnel down"; sleep 60; continue
+  fi
+  latest=$(ls /tmp/long3/run2/models/checkpoint_*.ckpt /tmp/long3/run/models/checkpoint_0001600000.ckpt 2>/dev/null | sort | tail -1)
+  say "flagship: launching from $latest"
+  nohup python -u -m dusty_gan_tpu.cli.train \
+    dataset.root=/tmp/long3/data dataset=kitti_odometry model=dusty2_dcgan_eqlr \
+    solver.batch_size=32 run_dir=/tmp/long3/run2 total_iterations=160000 \
+    validate_samples=128 resume="$latest" \
+    solver.checkpoint.save_stats=1000 solver.checkpoint.test=2500 \
+    solver.checkpoint.save_image=10000 solver.checkpoint.save_model=5000 \
+    >> /tmp/long3/run2.log 2>&1 &
+  echo $! > /tmp/long3/run2.pid
+  sleep 300
+done
+say "flagship: target checkpoint exists"
+
+# ---------------------------------------------------------- 3. campaign
+STAGES="tune eval_tol0 eval_tuned gt5000 eval5000 eval_emd1000"
+
+campaign_pass() {
+  # 3a. best-validation checkpoint by the tuner objective (CPU-only stage)
+  if [ ! -f $OUT/select.txt ] || ! grep -q '^BEST' $OUT/select.txt; then
+    python scripts/select_ckpt.py $RUN > $OUT/select.txt 2>&1
+  fi
+  BEST=$(grep '^BEST' $OUT/select.txt | sed 's/.* //')
+  if [ -z "$BEST" ]; then
+    say "select produced no BEST; falling back to target checkpoint"
+    BEST=$TARGET_CKPT
+  fi
+  say "BEST=$BEST"
+
+  # 3b. tolerance tuning for real: 100 TPE trials, reference objective/space
+  stage tune python -m dusty_gan_tpu.cli.tune_tolerance \
+    --model-path "$BEST" --config-path $CFG --save-dir-path $OUT \
+    --num-samples 100
+  TOL=$(python - <<EOF
+import json, glob
+fs = sorted(glob.glob("$OUT/tune_*.json"))
+print(json.load(open(fs[-1]))["best"]["tol"] if fs else 0.0)
+EOF
+)
+  say "TOL=$TOL"
+
+  # 3c. eval protocol on the training dataset (200 test scans), tol=0 vs tuned
+  stage eval_tol0 python -m dusty_gan_tpu.cli.evaluate_synthesis \
+    --model-path "$BEST" --config-path $CFG --save-dir-path $OUT/eval_tol0 \
+    --num-test 5000 --tol 0
+  stage eval_tuned python -m dusty_gan_tpu.cli.evaluate_synthesis \
+    --model-path "$BEST" --config-path $CFG --save-dir-path $OUT/eval_tuned \
+    --num-test 5000 --tol $TOL
+
+  # 3d. FULL 5000-sample protocol on the 10,205-scan dataset: GT floor + model
+  stage gt5000 python -m dusty_gan_tpu.cli.evaluate_synthesis \
+    --model-path "$BEST" --config-path /tmp/proto5k/cfg/config.yaml \
+    --num-test 5000 --compute-gt
+  stage eval5000 python -m dusty_gan_tpu.cli.evaluate_synthesis \
+    --model-path "$BEST" --config-path /tmp/proto5k/cfg/config.yaml \
+    --save-dir-path $OUT/eval5000 --num-test 5000 --tol $TOL
+
+  # 3e. EMD protocol anchor: 1000^2-class matrices, measured not projected
+  stage eval_emd1000 python -m dusty_gan_tpu.cli.evaluate_synthesis \
+    --model-path "$BEST" --config-path /tmp/proto5k/cfg/config.yaml \
+    --save-dir-path $OUT/eval_emd1000 --num-test 1000 --tol $TOL \
+    --metrics cd,emd
+}
+
+while true; do
+  campaign_pass
+  pending=0
+  for s in $STAGES; do
+    [ -f $OUT/$s.ok ] || [ -f $OUT/$s.skip ] || pending=$((pending + 1))
+  done
+  [ "$pending" -eq 0 ] && break
+  say "$pending stage(s) pending; retrying after 60s"
+  sleep 60
+done
+
+touch $OUT/ALL_DONE
+say "ALL DONE"
