@@ -1,0 +1,104 @@
+"""Export a trained generator as a portable StableHLO serving artifact.
+
+Usage:
+    python -m dusty_gan_tpu.cli.export \
+        --model-path runs/.../checkpoint_0025000000.ckpt \
+        --config-path runs/.../config.yaml \
+        --output-dir exports/dusty2_kitti
+
+Produces ``generator.stablehlo`` + ``manifest.json`` (see
+utils/export.py for the artifact contract).  Accepts native ``.ckpt``
+checkpoints and reference ``.pth`` files (the torch-import parity path),
+like every other eval CLI.  The reference has no export/serving
+capability; this is the deployment story for the rebuilt framework.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+
+
+def main(argv=None):
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model-path", type=str, required=True)
+    parser.add_argument("--config-path", type=str, required=True)
+    parser.add_argument("--output-dir", type=str, required=True)
+    parser.add_argument("--tol", type=float, default=0.0,
+                        help="projection tolerance baked into the points "
+                             "output (tune_tolerance result; 0 keeps all)")
+    parser.add_argument("--batch-size", type=int, default=0,
+                        help="fixed batch size; 0 (default) exports a "
+                             "symbolic batch dimension")
+    parser.add_argument("--dtype", type=str, default="bf16",
+                        help="compute dtype inside the artifact (bf16|f32)")
+    parser.add_argument("--platforms", type=str, default="tpu,cpu",
+                        help="comma list of lowering platforms")
+    parser.add_argument("--no-points", action="store_true",
+                        help="omit the Cartesian point-cloud output")
+    parser.add_argument("--no-verify", action="store_true",
+                        help="skip the reload + numerical parity self-test")
+    args = parser.parse_args(argv)
+
+    import numpy as np
+    import jax
+
+    from dusty_gan_tpu.utils.export import (
+        export_generator, load_exported, resolve_dtype, save_exported,
+    )
+    from dusty_gan_tpu.utils.setup import make_eval_generator, setup
+
+    cfg, G, params, lidar, fixed_noise = setup(
+        args.model_path, args.config_path, ema=True, fix_noise=True
+    )
+    in_ch = int(cfg.model.gen.in_ch)
+    dtype = resolve_dtype(args.dtype)
+    platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
+
+    exported = export_generator(
+        G, params, fixed_noise, lidar, in_ch=in_ch, compute_dtype=dtype,
+        tol=args.tol, with_points=not args.no_points,
+        batch_size=args.batch_size or None, platforms=platforms,
+    )
+    manifest = {
+        "arch": str(cfg.model.gen.arch),
+        "dataset": str(cfg.dataset.name),
+        "in_ch": in_ch,
+        "image_shape": list(cfg.dataset.shape),
+        "min_depth": float(cfg.dataset.min_depth),
+        "max_depth": float(cfg.dataset.max_depth),
+        "compute_dtype": args.dtype,
+        "tol": args.tol,
+        "batch": args.batch_size or "dynamic",
+        "platforms": list(platforms),
+        "with_points": not args.no_points,
+        "source_checkpoint": osp.abspath(args.model_path),
+    }
+    path = save_exported(exported, args.output_dir, manifest)
+    print(f"exported: {path} ({osp.getsize(path) / 1e6:.1f} MB, "
+          f"platforms={','.join(platforms)}, batch={manifest['batch']})")
+
+    if not args.no_verify:
+        # reload the serialized artifact and check it reproduces the live
+        # generator bit-for-bit on this host's platform
+        call, _ = load_exported(args.output_dir)
+        b = args.batch_size or 2
+        z = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(0), (b, in_ch)), np.float32
+        )
+        got = call(z)
+        gen = make_eval_generator(G, params, fixed_noise, dtype)
+        want = np.clip(
+            (np.asarray(gen(z)["depth"], np.float32) + 1.0) / 2.0, 0.0, 1.0
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["depth"], np.float32), want, atol=1e-6
+        )
+        print(f"verified: artifact == live generator on batch {b}")
+    return args.output_dir
+
+
+if __name__ == "__main__":
+    main()

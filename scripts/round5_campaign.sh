@@ -83,7 +83,7 @@ done
 say "flagship: target checkpoint exists"
 
 # ---------------------------------------------------------- 3. campaign
-STAGES="tune eval_tol0 eval_tuned gt5000 eval5000 eval_emd1000"
+STAGES="tune eval_tol0 eval_tuned gt5000 eval5000 eval_emd1000 export"
 
 campaign_pass() {
   # 3a. best-validation checkpoint by the tuner objective (CPU-only stage)
@@ -130,6 +130,13 @@ EOF
     --model-path "$BEST" --config-path /tmp/proto5k/cfg/config.yaml \
     --save-dir-path $OUT/eval_emd1000 --num-test 1000 --tol $TOL \
     --metrics cd,emd
+
+  # 3f. serving export of the flagship checkpoint, verified ON the chip
+  # (the CLI self-test reloads the artifact and compares vs the live
+  # generator on the TPU backend)
+  stage export python -m dusty_gan_tpu.cli.export \
+    --model-path "$BEST" --config-path $CFG \
+    --output-dir $OUT/export --tol $TOL
 }
 
 while true; do
