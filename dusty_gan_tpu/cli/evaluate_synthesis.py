@@ -55,6 +55,11 @@ def main(argv=None):
                         help="pod mode: call jax.distributed.initialize and "
                              "stripe the pairwise matrices across processes "
                              "(launch the same command on every host)")
+    parser.add_argument("--prepare-only", action="store_true",
+                        help="build/refresh the content-signed real-tensor "
+                             "caches, then exit without scoring (warm the "
+                             "caches on a different host or ahead of time — "
+                             "they are platform-independent)")
     args = parser.parse_args(argv)
 
     import jax
@@ -154,6 +159,10 @@ def main(argv=None):
                 np.savez(tmp, d2=reals[subset]["2d"], d3=reals[subset]["3d"])
                 os.replace(tmp, cache_path)
                 print("cached:", cache_path)
+
+    if args.prepare_only:
+        print("prepare-only: real-tensor caches ready; exiting")
+        return {"prepared": True}
 
     # uniform-stride subsample (evaluate_synthesis.py:102-110)
     for subset in ("train", "test"):

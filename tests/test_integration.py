@@ -164,6 +164,35 @@ class TestTrainCLI:
         assert np.isfinite(scores["jsd"])
         assert glob(str(tmp_path / "*.json"))
 
+    def test_evaluate_synthesis_prepare_only(self, trained_run, synth_root,
+                                             tmp_path, monkeypatch):
+        """--prepare-only builds the content-signed real caches and exits;
+        a later scoring run must load (not rebuild) them."""
+        from dusty_gan_tpu.cli import evaluate_synthesis as es
+
+        monkeypatch.chdir(tmp_path)
+        ckpt = sorted(glob(osp.join(trained_run, "models", "checkpoint_*.ckpt")))[-1]
+        args = [
+            "--model-path", ckpt,
+            "--config-path", osp.join(trained_run, ".hydra/config.yaml"),
+            "--save-dir-path", str(tmp_path),
+            "--num-test", "8", "--num-points", "128", "--cd-batch", "8",
+        ]
+        out = es.main(args + ["--prepare-only"])
+        assert out == {"prepared": True}
+        caches = glob(osp.join(str(synth_root), "cache", "eval_*.npz"))
+        assert len(caches) >= 2  # train + test subsets
+
+        # the scoring run must hit both caches (no np.savez writes)
+        wrote = []
+        real_savez = np.savez
+        monkeypatch.setattr(
+            np, "savez", lambda *a, **k: (wrote.append(a), real_savez(*a, **k))
+        )
+        scores = es.main(args)
+        assert not wrote, "scoring run rebuilt a cache --prepare-only made"
+        assert np.isfinite(scores["jsd"])
+
     def test_demo_synthesis_cli_with_video(self, trained_run, tmp_path):
         from dusty_gan_tpu.cli.demo import main as demo_main
 
