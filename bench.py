@@ -43,6 +43,34 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 H, W, BATCH = 64, 256, 32
 
 
+def _cfg_and_lidar(arch: str):
+    """Reference-sized model config dict + HDL-64E-like LiDAR."""
+    import numpy as np
+
+    from dusty_gan_tpu.geometry.lidar import Lidar
+
+    masker = arch.split("/")[0]
+    out_ch = {"none": {"depth": 1},
+              "dusty1": {"depth": 1, "confidence": 1},
+              "dusty2": {"depth": 1, "confidence": 2}}[masker]
+    cfg = {
+        "model": {
+            "gen": {"arch": arch, "in_ch": 512, "out_ch": out_ch,
+                    "ch_base": 64, "ch_max": 512, "shape": (H, W), "tau": 1.0,
+                    "drop_const": -1.0},
+            "dis": {"arch": "dcgan_eqlr", "in_ch": 1, "ch_base": 64,
+                    "ch_max": 512, "shape": (H, W)},
+            "ring": True,
+        }
+    }
+    pitch = np.radians(np.linspace(2.0, -24.8, H))[:, None] * np.ones((1, W))
+    yaw = np.linspace(np.pi, -np.pi, W, endpoint=False)[None, :] * np.ones((H, 1))
+    lidar = Lidar.from_angle_array(
+        np.stack([pitch, yaw]).astype(np.float32), (H, W), 0.9, 120.0
+    )
+    return cfg, lidar
+
+
 def _build_variant(arch: str):
     """Train-step callable + state + data for one model family.
 
@@ -60,25 +88,8 @@ def _build_variant(arch: str):
     from dusty_gan_tpu.train.step import make_train_step
 
     masker = arch.split("/")[0]
-    out_ch = {"none": {"depth": 1},
-              "dusty1": {"depth": 1, "confidence": 1},
-              "dusty2": {"depth": 1, "confidence": 2}}[masker]
-    cfg = {
-        "model": {
-            "gen": {"arch": arch, "in_ch": 512, "out_ch": out_ch,
-                    "ch_base": 64, "ch_max": 512, "shape": (H, W), "tau": 1.0,
-                    "drop_const": -1.0},
-            "dis": {"arch": "dcgan_eqlr", "in_ch": 1, "ch_base": 64,
-                    "ch_max": 512, "shape": (H, W)},
-            "ring": True,
-        }
-    }
+    cfg, lidar = _cfg_and_lidar(arch)
     G, D = define_G(cfg), define_D(cfg)
-    pitch = np.radians(np.linspace(2.0, -24.8, H))[:, None] * np.ones((1, W))
-    yaw = np.linspace(np.pi, -np.pi, W, endpoint=False)[None, :] * np.ones((H, 1))
-    lidar = Lidar.from_angle_array(
-        np.stack([pitch, yaw]).astype(np.float32), (H, W), 0.9, 120.0
-    )
     opt_g = make_optimizer(2e-3, 0.0, 0.99)
     opt_d = make_optimizer(2e-3, 0.0, 0.99)
 
@@ -223,6 +234,45 @@ def main():
             print(f"bench: pallas EMD block failed ({type(e).__name__})",
                   file=sys.stderr)
 
+    # serving path (cli/export.py): round-trip the flagship eval-mode
+    # generator through jax.export serialize/deserialize and time the
+    # artifact call (depth + mask + point projection, batch 32) — the
+    # deployment-story number.  Guarded: a lowering failure must never
+    # cost the driver the headline metric.
+    serving_scans_per_sec = None
+    try:
+        from dusty_gan_tpu.models.factory import define_G
+        from dusty_gan_tpu.utils.export import export_generator
+        from dusty_gan_tpu.utils.setup import make_fixed_noise
+
+        cfg, lidar = _cfg_and_lidar("dusty2/dcgan_eqlr")
+        Gs = define_G(cfg)
+        sparams = Gs.init(
+            {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 512), jnp.float32),
+        )
+        snoise = make_fixed_noise(Gs, (H, W))
+        platform = jax.export.default_export_platform()
+        exported = export_generator(
+            Gs, sparams, snoise, lidar, in_ch=512, batch_size=BATCH,
+            platforms=(platform,),
+        )
+        art = jax.export.deserialize(bytearray(exported.serialize()))
+        zs = jnp.asarray(np.random.RandomState(5).randn(BATCH, 512).astype(np.float32))
+        out = art.call(zs)
+        assert np.isfinite(float(jnp.sum(out["depth"])))  # compile + sync
+        sv_dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(8):
+                out = art.call(zs)
+            assert np.isfinite(float(jnp.sum(out["depth"])))
+            sv_dt = min(sv_dt, (time.perf_counter() - t0) / 8)
+        serving_scans_per_sec = round(BATCH / sv_dt, 1)
+    except Exception as e:
+        print(f"bench: serving export path failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
+
     flagship = variants["dusty2/dcgan_eqlr"]
     scans_per_sec = flagship["scans_per_sec"]
     print(json.dumps({
@@ -237,6 +287,7 @@ def main():
         "chamfer_path": chamfer_path,
         "cd_pairs_per_sec": cd_pairs_per_sec,
         "emd_pairs_per_sec": emd_pairs_per_sec,
+        "serving_scans_per_sec": serving_scans_per_sec,
         "variants": variants,
     }))
 
