@@ -167,7 +167,14 @@ def test_one_rank_sigterm_stops_all_ranks(tmp_path):
             if osp.exists(scal) and os.path.getsize(scal) > 0:
                 break
             for i, p in enumerate(procs):
-                assert p.poll() is None, f"rank {i} died before stepping"
+                if p.poll() is not None:
+                    # surface the dead rank's real exception: the OTHER
+                    # rank's gloo timeout is only ever the symptom
+                    out, _ = p.communicate(timeout=30)
+                    raise AssertionError(
+                        f"rank {i} died before stepping "
+                        f"(rc={p.returncode}):\n{out[-4000:]}"
+                    )
             time.sleep(0.5)
         else:
             raise AssertionError("training never produced scalars.jsonl")
