@@ -129,6 +129,92 @@ class TestExportRoundtrip:
             load_exported(str(tmp_path))
 
 
+class TestServe:
+    @pytest.fixture(scope="class")
+    def export_dir(self, tmp_path_factory):
+        _, G, params, noise, lidar, in_ch = _tiny_setup("dusty2_dcgan_eqlr")
+        d = str(tmp_path_factory.mktemp("serve_export"))
+        exported = export_generator(
+            G, params, noise, lidar, in_ch=in_ch,
+            compute_dtype=jnp.float32, batch_size=None, platforms=("cpu",),
+        )
+        save_exported(exported, d, {"arch": "dusty2", "in_ch": in_ch,
+                                    "batch": "dynamic"})
+        return d
+
+    @pytest.fixture(scope="class")
+    def server(self, export_dir):
+        import threading
+
+        from dusty_gan_tpu.cli.serve import make_server
+
+        server, service = make_server(export_dir, port=0)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{server.server_address[1]}", service
+        server.shutdown()
+        server.server_close()
+
+    def test_healthz(self, server):
+        import urllib.request
+
+        url, _ = server
+        with urllib.request.urlopen(url + "/healthz") as r:
+            body = json.loads(r.read())
+        assert body["ok"] and body["manifest"]["arch"] == "dusty2"
+
+    def test_generate_npz_roundtrip(self, server):
+        import io
+        import urllib.request
+
+        url, service = server
+        req = urllib.request.Request(
+            url + "/generate",
+            data=json.dumps({"batch": 3, "seed": 7}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            z = np.load(io.BytesIO(r.read()))
+        assert set(z.files) == {"depth", "mask", "points"}
+        assert z["depth"].shape[0] == 3
+        # server latents are seed-stable and batch-prefix-stable
+        want = service.generate(service.latents({"batch": 3, "seed": 7}))
+        np.testing.assert_array_equal(z["depth"], want["depth"])
+        more = service.latents({"batch": 5, "seed": 7})
+        np.testing.assert_array_equal(
+            service.latents({"batch": 3, "seed": 7}), more[:3]
+        )
+
+    def test_generate_client_latents_json(self, server):
+        import urllib.request
+
+        url, service = server
+        z = np.zeros((2, service.in_ch), np.float32).tolist()
+        req = urllib.request.Request(
+            url + "/generate?format=json",
+            data=json.dumps({"latents": z}).encode(),
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        want = service.generate(np.zeros((2, service.in_ch), np.float32))
+        np.testing.assert_allclose(
+            np.asarray(out["depth"], np.float32), want["depth"], atol=1e-6
+        )
+
+    def test_bad_requests_are_400(self, server):
+        import urllib.error
+        import urllib.request
+
+        url, service = server
+        for body in ({"latents": [[0.0, 1.0]]}, {"batch": 0}):
+            req = urllib.request.Request(
+                url + "/generate", data=json.dumps(body).encode()
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req)
+            assert ei.value.code == 400
+
+
 class TestExportCLI:
     def test_cli_end_to_end(self, tmp_path):
         """checkpoint on disk -> cli.export -> artifact verifies + reloads."""
