@@ -51,7 +51,7 @@ stage() { # stage <name> <cmd...> — run once, stamp .ok on rc=0
 
 # ---------------------------------------------------------- 1. bench
 bench_early() {
-  timeout 3600 python bench.py > $OUT/bench_early.raw 2>&1 || return 1
+  timeout 1200 python bench.py > $OUT/bench_early.raw 2>&1 || return 1
   grep -h '"metric"' $OUT/bench_early.raw | tail -1 > $OUT/bench_early.json
   [ -s $OUT/bench_early.json ]
 }
@@ -63,6 +63,14 @@ stage bench_early bench_early
 while [ ! -f "$TARGET_CKPT" ]; do
   pid=$(cat /tmp/long3/run2.pid 2>/dev/null)
   if [ -n "$pid" ] && kill -0 "$pid" 2>/dev/null; then
+    # self-heal a hung backend init: scalars print every ~1-3 min while
+    # actually training, so a log silent for 30 min means the process is
+    # wedged in jax.devices()/compile against a dead tunnel
+    age=$(( $(date +%s) - $(stat -c %Y /tmp/long3/run2.log 2>/dev/null || echo 0) ))
+    if [ "$age" -gt 1800 ]; then
+      say "flagship: run2.log silent ${age}s — killing wedged pid $pid"
+      kill "$pid" 2>/dev/null; sleep 10; kill -9 "$pid" 2>/dev/null
+    fi
     sleep 120; continue
   fi
   if ! tunnel_up; then
