@@ -167,6 +167,32 @@ class TestReferenceOracle:
         optim.step()  # must not throw: moments match parameter shapes
 
 
+class TestStableHLOExportFromPth:
+    def test_serving_export_accepts_reference_checkpoint(
+        self, torch, pth_path, cfg, tmp_path
+    ):
+        """docs/SERVING.md: reference .pth files feed the StableHLO
+        exporter through the same torch-import path the eval CLIs use."""
+        from dusty_gan_tpu.cli.export import main as export_main
+        from dusty_gan_tpu.data.synthetic import build_synthetic_kitti
+        from dusty_gan_tpu.utils.export import load_exported
+
+        root = build_synthetic_kitti(str(tmp_path / "data"),
+                                     n_scans_per_seq=4, w0=256)
+        cfg.dataset.root = str(root)
+        cfg_path = str(tmp_path / "config.yaml")
+        with open(cfg_path, "w") as f:
+            f.write(cfg.to_yaml())
+        out_dir = str(tmp_path / "export")
+        export_main(["--model-path", pth_path, "--config-path", cfg_path,
+                     "--output-dir", out_dir, "--dtype", "f32",
+                     "--platforms", "cpu"])
+        call, manifest = load_exported(out_dir)
+        assert manifest["source_checkpoint"].endswith(".pth")
+        out = call(np.zeros((2, IN_CH), np.float32))
+        assert out["depth"].shape == (2, H, W, 1)
+
+
 class TestExportPthCLI:
     def test_cli_end_to_end(self, torch, native_state, cfg, tmp_path):
         from dusty_gan_tpu.cli.export_pth import main as export_main
