@@ -176,6 +176,24 @@ def main(argv=None):
     t_last = time.perf_counter()
     imgs_per_iter = trainer.batch_size
 
+    pending_batch = None
+    if multi:
+        # compile-then-barrier: each rank AOT-compiles the step for the
+        # real batch avals, then all ranks meet at a barrier on the
+        # communicator init_distributed established — so everyone enters
+        # step-1 EXECUTION (where the step program's own collective
+        # context is created, with a fixed connect timeout on the gloo
+        # CPU rig) within milliseconds, regardless of compile skew.
+        # Without this, a rank whose compile finishes first crashes with
+        # "Gloo context initialization failed: Connect timeout" whenever
+        # host contention skews compiles past the timeout.
+        from dusty_gan_tpu.parallel.mesh import pod_allgather
+
+        pending_batch = dict(next(it))
+        pending_batch["stop"] = local_stop_flags()
+        trainer.precompile_step(pending_batch)
+        pod_allgather(np.zeros((1,), np.float32))
+
     last_scalars = None
     for i in range(trainer.start_iteration + 1, total_iteration + 1):
         if stop_agreed(i, last_scalars):
@@ -195,10 +213,11 @@ def main(argv=None):
             return run_dir
         if profile_dir and i == trainer.start_iteration + 4:
             jax.profiler.start_trace(profile_dir)
-        batch = next(it)
+        batch = pending_batch if pending_batch is not None else next(it)
+        pending_batch = None
         if multi:
             batch = dict(batch)
-            batch["stop"] = local_stop_flags()
+            batch["stop"] = local_stop_flags()  # refresh (also on batch 1)
         scalars = trainer.step(i, batch)
         last_scalars = scalars
         step_imgs = i * imgs_per_iter

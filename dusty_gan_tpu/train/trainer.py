@@ -242,12 +242,30 @@ class Trainer:
                 q.append(self.shard(next(it)))
             yield q.popleft()
 
+    def precompile_step(self, batch: Dict[str, np.ndarray]):
+        """AOT-compile the jitted step for this batch's exact avals without
+        executing it; subsequent ``step`` calls use the compiled executable.
+
+        Multihost rationale: the step's cross-host collective context (gloo
+        on the CPU rig) is created lazily at FIRST EXECUTION, with a fixed
+        connect timeout — if one rank starts executing step 1 while another
+        is still compiling (compile skew easily exceeds the timeout under
+        host contention), context creation times out and the fast rank
+        crashes. Compiling on every rank first and barriering before the
+        loop (cli/train.py) bounds the execution-entry skew to milliseconds.
+        """
+        if not isinstance(next(iter(batch.values())), jax.Array):
+            batch = self.shard(batch)
+        key = jax.random.fold_in(self.root_key, 0)  # shapes only, value unused
+        self._cstep = self._jstep.lower(self.state, batch, key).compile()
+
     def step(self, i: int, batch: Dict[str, np.ndarray]):
         """One optimization step; returns logged scalars (floats)."""
         if not isinstance(next(iter(batch.values())), jax.Array):
             batch = self.shard(batch)
         key = jax.random.fold_in(self.root_key, i)
-        self.state, scalars = self._jstep(self.state, batch, key)
+        fn = getattr(self, "_cstep", None) or self._jstep
+        self.state, scalars = fn(self.state, batch, key)
         return scalars
 
     # ------------------------------------------------------------------

@@ -37,8 +37,10 @@ stage() { # stage <name> <cmd...> — run once, stamp .ok on rc=0
     touch $OUT/$name.skip
     return 1
   fi
-  echo $((tries + 1)) > $OUT/$name.try
   wait_tunnel
+  # count attempts only once the tunnel is up and the stage actually runs
+  # (orchestrator restarts while blocked in wait_tunnel must not burn them)
+  echo $((tries + 1)) > $OUT/$name.try
   say "stage $name: attempt $((tries + 1))"
   local t0=$(date +%s)
   "$@" > $OUT/$name.log 2>&1
