@@ -2,24 +2,33 @@
 # Round-5 orchestrator: owns the whole chip session end-to-end so zero
 # chip time is lost to tunnel flapping (the axon tunnel was down for the
 # final ~11h of round 4; it can drop at any moment and return hours
-# later).  Sequence:
+# later).  /tmp was wiped between rounds, so the 1.6M-image round-4
+# checkpoints are gone — the flagship trains FROM SCRATCH, and we use
+# the loss of continuity to fix the judge-diagnosed bottleneck: the
+# round-4 run was data-bound (2,000 scans), so this one trains on the
+# 5,000-scan protocol dataset (25x the 200-scan base), which also makes
+# training and the 5,000-sample eval protocol share one dataset.
+#
+# Sequence:
+#   0. datasets     — rebuild /tmp/proto5k (CPU, no tunnel needed)
 #   1. bench_early  — secure the headline perf number the moment the
 #                     tunnel is up (round 4 ended with no bench at all)
-#   2. flagship     — resume the 10x-data run from its newest checkpoint
-#                     to 5.12M images (self-healing relaunch loop)
+#   2. flagship     — train dusty2_dcgan_eqlr to 5.12M images
+#                     (self-healing relaunch loop, resumes checkpoints)
 #   3. eval campaign — best-ckpt selection -> 100-trial tolerance tune ->
-#                     tol=0 vs tuned evals -> full 5,000-sample protocol
-#                     -> measured 1000^2 EMD anchor
+#                     tol=0 eval -> GT floor -> tuned eval (all at the
+#                     full 5,000-sample protocol) -> measured 1000^2 EMD
+#                     anchor -> chip-verified serving export
 # Every stage leaves an .ok stamp in $OUT and is skipped on re-runs, so
 # a mid-campaign outage resumes at the failed stage, not from scratch.
 # Stages get 5 attempts (tunnel probes gate each) before being .skip-ed.
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
 OUT=/tmp/round5
-RUN=/tmp/long3/run2
+RUN=/tmp/flagship/run
 CFG=$RUN/.hydra/config.yaml
 TARGET_CKPT=$RUN/models/checkpoint_0005120000.ckpt
-mkdir -p $OUT
+mkdir -p $OUT /tmp/flagship
 say() { echo "$(date) $*" >> $OUT/campaign.log; }
 
 tunnel_up() { timeout 120 python -c "import jax; jax.devices()" >/dev/null 2>&1; }
@@ -51,26 +60,36 @@ stage() { # stage <name> <cmd...> — run once, stamp .ok on rc=0
   return $rc
 }
 
+# ------------------------------------------------- 0. datasets (CPU)
+if [ ! -f $OUT/datasets.ok ]; then
+  t0=$(date +%s)
+  python scripts/rebuild_tmp.py > $OUT/datasets.log 2>&1
+  rc=$?
+  echo "WALL $(( $(date +%s) - t0 ))s rc=$rc datasets" >> $OUT/walls.txt
+  say "stage datasets: rc=$rc"
+  [ $rc -eq 0 ] && touch $OUT/datasets.ok || exit 1
+fi
+
 # ---------------------------------------------------------- 1. bench
 bench_early() {
-  timeout 1200 python bench.py > $OUT/bench_early.raw 2>&1 || return 1
+  timeout 1500 python bench.py > $OUT/bench_early.raw 2>&1 || return 1
   grep -h '"metric"' $OUT/bench_early.raw | tail -1 > $OUT/bench_early.json
   [ -s $OUT/bench_early.json ]
 }
 stage bench_early bench_early
 
 # ---------------------------------------------------------- 2. flagship
-# Same loop as watch_tunnel.sh: relaunch cli.train from the newest
-# checkpoint until the 5.12M-image checkpoint exists.
+# Relaunch cli.train from the newest checkpoint (or scratch) until the
+# 5.12M-image checkpoint exists.
 while [ ! -f "$TARGET_CKPT" ]; do
-  pid=$(cat /tmp/long3/run2.pid 2>/dev/null)
+  pid=$(cat /tmp/flagship/run.pid 2>/dev/null)
   if [ -n "$pid" ] && kill -0 "$pid" 2>/dev/null; then
     # self-heal a hung backend init: scalars print every ~1-3 min while
     # actually training, so a log silent for 30 min means the process is
     # wedged in jax.devices()/compile against a dead tunnel
-    age=$(( $(date +%s) - $(stat -c %Y /tmp/long3/run2.log 2>/dev/null || echo 0) ))
+    age=$(( $(date +%s) - $(stat -c %Y /tmp/flagship/run.log 2>/dev/null || echo 0) ))
     if [ "$age" -gt 1800 ]; then
-      say "flagship: run2.log silent ${age}s — killing wedged pid $pid"
+      say "flagship: run.log silent ${age}s — killing wedged pid $pid"
       kill "$pid" 2>/dev/null; sleep 10; kill -9 "$pid" 2>/dev/null
     fi
     sleep 120; continue
@@ -78,22 +97,22 @@ while [ ! -f "$TARGET_CKPT" ]; do
   if ! tunnel_up; then
     say "flagship: tunnel down"; sleep 60; continue
   fi
-  latest=$(ls /tmp/long3/run2/models/checkpoint_*.ckpt /tmp/long3/run/models/checkpoint_0001600000.ckpt 2>/dev/null | sort | tail -1)
-  say "flagship: launching from $latest"
+  latest=$(ls $RUN/models/checkpoint_*.ckpt 2>/dev/null | sort | tail -1)
+  say "flagship: launching from ${latest:-scratch}"
   nohup python -u -m dusty_gan_tpu.cli.train \
-    dataset.root=/tmp/long3/data dataset=kitti_odometry model=dusty2_dcgan_eqlr \
-    solver.batch_size=32 run_dir=/tmp/long3/run2 total_iterations=160000 \
+    dataset.root=/tmp/proto5k/data dataset=kitti_odometry model=dusty2_dcgan_eqlr \
+    solver.batch_size=32 run_dir=$RUN total_iterations=160000 \
     validate_samples=128 resume="$latest" \
     solver.checkpoint.save_stats=1000 solver.checkpoint.test=2500 \
     solver.checkpoint.save_image=10000 solver.checkpoint.save_model=5000 \
-    >> /tmp/long3/run2.log 2>&1 &
-  echo $! > /tmp/long3/run2.pid
+    >> /tmp/flagship/run.log 2>&1 &
+  echo $! > /tmp/flagship/run.pid
   sleep 300
 done
 say "flagship: target checkpoint exists"
 
 # ---------------------------------------------------------- 3. campaign
-STAGES="tune eval_tol0 eval_tuned gt5000 eval5000 eval_emd1000 export"
+STAGES="tune eval_tol0 gt5000 eval_tuned eval_emd1000 export"
 
 campaign_pass() {
   # 3a. best-validation checkpoint by the tuner objective (CPU-only stage)
@@ -119,29 +138,24 @@ EOF
 )
   say "TOL=$TOL"
 
-  # 3c. eval protocol on the training dataset (200 test scans), tol=0 vs tuned
+  # 3c. FULL 5,000-sample protocol (train dataset == protocol dataset):
+  # untuned baseline, GT floor, tuned run
   stage eval_tol0 python -m dusty_gan_tpu.cli.evaluate_synthesis \
     --model-path "$BEST" --config-path $CFG --save-dir-path $OUT/eval_tol0 \
     --num-test 5000 --tol 0
+  stage gt5000 python -m dusty_gan_tpu.cli.evaluate_synthesis \
+    --model-path "$BEST" --config-path $CFG --save-dir-path $OUT/gt5000 \
+    --num-test 5000 --compute-gt
   stage eval_tuned python -m dusty_gan_tpu.cli.evaluate_synthesis \
     --model-path "$BEST" --config-path $CFG --save-dir-path $OUT/eval_tuned \
     --num-test 5000 --tol $TOL
 
-  # 3d. FULL 5000-sample protocol on the 10,205-scan dataset: GT floor + model
-  stage gt5000 python -m dusty_gan_tpu.cli.evaluate_synthesis \
-    --model-path "$BEST" --config-path /tmp/proto5k/cfg/config.yaml \
-    --num-test 5000 --compute-gt
-  stage eval5000 python -m dusty_gan_tpu.cli.evaluate_synthesis \
-    --model-path "$BEST" --config-path /tmp/proto5k/cfg/config.yaml \
-    --save-dir-path $OUT/eval5000 --num-test 5000 --tol $TOL
-
-  # 3e. EMD protocol anchor: 1000^2-class matrices, measured not projected
+  # 3d. EMD protocol anchor: 1000^2-class matrices, measured not projected
   stage eval_emd1000 python -m dusty_gan_tpu.cli.evaluate_synthesis \
-    --model-path "$BEST" --config-path /tmp/proto5k/cfg/config.yaml \
-    --save-dir-path $OUT/eval_emd1000 --num-test 1000 --tol $TOL \
-    --metrics cd,emd
+    --model-path "$BEST" --config-path $CFG --save-dir-path $OUT/eval_emd1000 \
+    --num-test 1000 --tol $TOL --metrics cd,emd
 
-  # 3f. serving export of the flagship checkpoint, verified ON the chip
+  # 3e. serving export of the flagship checkpoint, verified ON the chip
   # (the CLI self-test reloads the artifact and compares vs the live
   # generator on the TPU backend)
   stage export python -m dusty_gan_tpu.cli.export \
