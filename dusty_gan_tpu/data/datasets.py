@@ -141,15 +141,22 @@ class RangeImageDataset:
         if rng is None:
             rng = np.random.default_rng([self.seed, index])
         do_flip = self.flip and rng.random() > 0.5
+        return self.item(index, flip=do_flip, keys=keys)
+
+    def item(self, index: int, flip: bool = False,
+             keys: Optional[Sequence[str]] = None) -> Dict[str, np.ndarray]:
+        """Fetch one item with an EXPLICIT flip bit (``get`` draws the bit
+        from an RNG stream; the device-resident cache replays that stream
+        on the host and indexes variants directly — data/device_cache.py)."""
         if self._cache is not None:
-            if not do_flip:
+            if not flip:
                 src = self._cache
                 return {k: src[k][index]
                         for k in (src if keys is None else keys)}
             fc = self._flip_cache
             if fc is not None and keys is not None and set(keys) <= set(fc):
                 return {k: fc[k][index] for k in keys}
-        item = self._process(self._load_raw(index), do_flip)
+        item = self._process(self._load_raw(index), flip)
         return item if keys is None else {k: item[k] for k in keys}
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:

@@ -79,15 +79,48 @@ class Loader:
         ks = self.keys if self.keys is not None else tuple(items[0])
         return {k: np.stack([it[k] for it in items]) for k in ks}
 
-    def epoch(self, epoch: int, start_batch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-        """One epoch of batches, optionally skipping the first
-        ``start_batch`` batches WITHOUT loading them (index-slice skip, so
-        fast-forward on resume costs nothing)."""
+    def index_batches(self, epoch: int, start_batch: int = 0) -> Iterator[np.ndarray]:
+        """One epoch of LOCAL batch index arrays (no item loading) — the
+        stream the collating ``epoch()`` consumes, exposed for the
+        device-resident dataset cache (data/device_cache.py), which ships
+        indices instead of batches."""
         idx = self._epoch_indices(epoch)
         b = self.batch_size // self.process_count
         end = len(idx) - (len(idx) % b) if self.drop_last else len(idx)
         for i in range(start_batch * b, end, b):
-            yield self._collate(idx[i : i + b], epoch)
+            yield idx[i : i + b]
+
+    def index_stream(self, start_iteration: int = 0):
+        """Infinite ``(epoch, local_batch_indices)`` stream positioned like
+        ``iter_from(start_iteration)`` — same permutations, same epoch
+        cycling, same resume fast-forward, no collation."""
+        ipe = len(self)
+        epoch, start = divmod(int(start_iteration), max(ipe, 1))
+        while True:
+            for idx in self.index_batches(epoch, start_batch=start):
+                yield epoch, idx
+            epoch += 1
+            start = 0
+
+    def flip_bits(self, epoch: int, idx: np.ndarray) -> np.ndarray:
+        """The h-flip Bernoulli bits the per-item RNG streams in
+        ``_collate`` would draw for these indices — bit-identical replay
+        of ``dataset.get``'s ``rng.random() > 0.5`` (the first draw of
+        ``default_rng([seed, epoch, index])``)."""
+        if not getattr(self.dataset, "flip", False):
+            return np.zeros(len(idx), dtype=bool)
+        return np.fromiter(
+            (np.random.default_rng([self.seed, int(epoch), int(i)]).random() > 0.5
+             for i in idx),
+            dtype=bool, count=len(idx),
+        )
+
+    def epoch(self, epoch: int, start_batch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """One epoch of batches, optionally skipping the first
+        ``start_batch`` batches WITHOUT loading them (index-slice skip, so
+        fast-forward on resume costs nothing)."""
+        for idx in self.index_batches(epoch, start_batch=start_batch):
+            yield self._collate(idx, epoch)
 
     def iter_from(self, start_iteration: int) -> Iterator[Dict[str, np.ndarray]]:
         """Infinite epoch-cycling iterator positioned as if

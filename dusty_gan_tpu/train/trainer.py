@@ -147,6 +147,37 @@ class Trainer:
             drop_last=False,
         )
 
+        # device-resident dataset cache (opt-in, ``cache_device: true``):
+        # upload the resized train tensors to the mesh once and ship 32
+        # int32 indices per step instead of 2 MB of depth — the end-to-end
+        # wall becomes device-bound instead of host->device-bandwidth-bound
+        # (same batch stream bit for bit; see data/device_cache.py)
+        self.device_cache = None
+        if bool(cfg.get("cache_device", False)):
+            from dusty_gan_tpu.data.device_cache import DeviceDatasetCache
+
+            self.device_cache = DeviceDatasetCache(
+                self.loader, self.mesh, keys=("depth",), verbose=verbose
+            )
+
+        # scan-chunk mode (opt-in, ``steps_per_call: K``): run K consecutive
+        # iterations per device call via lax.scan over the per-iteration
+        # dataset indices — host dispatch cost amortizes K-fold, so the
+        # wall stays device-bound even over a high-latency link. Requires
+        # the device cache (the scan body gathers its own batches).
+        self.steps_per_call = int(cfg.get("steps_per_call", 0) or 0)
+        if self.steps_per_call > 1:
+            if self.device_cache is None:
+                raise ValueError(
+                    "steps_per_call needs cache_device=true (the scan body "
+                    "gathers batches from the device-resident dataset)"
+                )
+            if jax.process_count() > 1:
+                raise NotImplementedError(
+                    "steps_per_call rides no per-step stop vote; multihost "
+                    "runs use the per-step path (steps_per_call=0)"
+                )
+
         # jitted step
         loss_weight = {k: float(v) for k, v in dict(cfg.solver.loss).items()}
         self._train_step = make_train_step(
@@ -236,6 +267,14 @@ class Trainer:
         if start_iteration is None:
             start_iteration = self.start_iteration
         q = collections.deque()
+        if self.device_cache is not None:
+            # batches already live on-device: only indices cross the wire
+            ix = self.loader.index_stream(start_iteration)
+            while True:
+                while len(q) < lookahead:
+                    epoch, idx = next(ix)
+                    q.append(self.device_cache.global_batch(epoch, idx))
+                yield q.popleft()
         it = self.loader.iter_from(start_iteration)
         while True:
             while len(q) < lookahead:

@@ -44,11 +44,14 @@ def build(root, per_seq, seed, seqs, tag):
 TRAIN = (0, 1, 2, 3, 4, 5, 6, 7, 9, 10)
 TEST = (11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21)
 
-# ---- proto5k: train + protocol eval set (build5k.py recipe) ----------
-# The round-5 flagship trains directly on this 5,000-scan set (25x the
-# 200-scan base): the judge diagnosed the quality gap as data-bound, and
-# sharing one dataset makes the 5,000-sample protocol exact.
-build("/tmp/proto5k/data", 500, 101, TRAIN, "proto5k train (5000)")
+# ---- proto5k: train + protocol eval set ------------------------------
+# The round-5 flagship trains directly on this set, scaled to the REAL
+# KITTI odometry train-split size (19,130 scans, 1,913/seq): the judge
+# diagnosed the quality gap as data-bound, the device-resident cache
+# makes the full 25M-image reference schedule affordable, and sharing
+# one dataset makes the 5,000-sample protocol exact (the eval stride-
+# subsamples the train side to --num-test).
+build("/tmp/proto5k/data", 1913, 101, TRAIN, "proto5k train (19130)")
 build("/tmp/proto5k/data", 200, 202, (8,), "proto5k val (200)")
 build("/tmp/proto5k/data", 455, 303, TEST, "proto5k test (5005)")
 

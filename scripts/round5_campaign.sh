@@ -27,7 +27,11 @@ export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
 OUT=/tmp/round5
 RUN=/tmp/flagship/run
 CFG=$RUN/.hydra/config.yaml
-TARGET_CKPT=$RUN/models/checkpoint_0005120000.ckpt
+# the FULL reference schedule: 781,250 iterations x batch 32 = 25M images
+# (configs/solver/nsgan_eqlr.yaml total_kimg 25000) — affordable because
+# the device-resident dataset cache (cache_device=true) makes the wall
+# device-bound instead of tunnel-bandwidth-bound
+TARGET_CKPT=$RUN/models/checkpoint_0025000000.ckpt
 mkdir -p $OUT /tmp/flagship
 say() { echo "$(date) $*" >> $OUT/campaign.log; }
 
@@ -99,12 +103,14 @@ while [ ! -f "$TARGET_CKPT" ]; do
   fi
   latest=$(ls $RUN/models/checkpoint_*.ckpt 2>/dev/null | sort | tail -1)
   say "flagship: launching from ${latest:-scratch}"
+  # cadence: validation every 10k iters (the reference's, nsgan_eqlr.yaml),
+  # checkpoints every 20k so every other validation point is selectable
   nohup python -u -m dusty_gan_tpu.cli.train \
     dataset.root=/tmp/proto5k/data dataset=kitti_odometry model=dusty2_dcgan_eqlr \
-    solver.batch_size=32 run_dir=$RUN total_iterations=160000 \
+    solver.batch_size=32 cache_device=true run_dir=$RUN total_iterations=781250 \
     validate_samples=128 resume="$latest" \
-    solver.checkpoint.save_stats=1000 solver.checkpoint.test=2500 \
-    solver.checkpoint.save_image=10000 solver.checkpoint.save_model=5000 \
+    solver.checkpoint.save_stats=1000 solver.checkpoint.test=10000 \
+    solver.checkpoint.save_image=50000 solver.checkpoint.save_model=20000 \
     >> /tmp/flagship/run.log 2>&1 &
   echo $! > /tmp/flagship/run.pid
   sleep 300

@@ -1,0 +1,116 @@
+"""Device-resident dataset cache (data/device_cache.py): per-step batch
+indices replace batch tensors on the wire. The contract is bit-parity —
+the index stream, the flip-bit replay, the gathered batches, and whole
+training steps must equal the host loader path exactly."""
+
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from dusty_gan_tpu.config import compose
+from dusty_gan_tpu.data.datasets import KITTIOdometry
+from dusty_gan_tpu.data.loader import Loader
+from dusty_gan_tpu.data.synthetic import build_synthetic_kitti
+
+CONFIG_DIR = osp.join(osp.dirname(__file__), "../configs")
+
+TINY = [
+    "model.gen.ch_base=8",
+    "model.gen.ch_max=16",
+    "model.dis.ch_base=8",
+    "model.dis.ch_max=16",
+    "solver.batch_size=8",
+]
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti_synth_dc")
+    return build_synthetic_kitti(str(root), n_scans_per_seq=10, w0=512)
+
+
+@pytest.mark.parametrize("flip", [False, True])
+def test_index_stream_replays_iter_from(synth_root, flip):
+    """index_stream + flip_bits + dataset.item == the collated batch
+    stream, including at a resume offset mid-epoch."""
+    ds = KITTIOdometry(root=str(synth_root), split="train", flip=flip)
+    loader = Loader(ds, batch_size=4, seed=3, keys=("depth",))
+    for start in (0, 5):
+        it = loader.iter_from(start)
+        ix = loader.index_stream(start)
+        try:
+            for _ in range(6):
+                want = next(it)
+                epoch, idx = next(ix)
+                bits = loader.flip_bits(epoch, idx)
+                got = np.stack([
+                    ds.item(int(i), flip=bool(b), keys=("depth",))["depth"]
+                    for i, b in zip(idx, bits)
+                ])
+                np.testing.assert_array_equal(got, want["depth"])
+        finally:
+            it.close()
+
+
+@pytest.mark.parametrize("flip", [False, True])
+def test_device_cache_batches_match_host_path(synth_root, flip):
+    """global_batch == shard(collate) for the same stream position."""
+    from dusty_gan_tpu.data.device_cache import DeviceDatasetCache
+    from dusty_gan_tpu.parallel.mesh import create_mesh, shard_batch
+
+    ds = KITTIOdometry(root=str(synth_root), split="train", flip=flip)
+    loader = Loader(ds, batch_size=8, seed=1, keys=("depth",))
+    mesh = create_mesh()
+    cache = DeviceDatasetCache(loader, mesh, keys=("depth",))
+    assert cache.nbytes == (2 if flip else 1) * len(ds) * 64 * 256 * 4
+
+    ix = loader.index_stream(0)
+    it = loader.iter_from(0)
+    try:
+        for _ in range(3):
+            epoch, idx = next(ix)
+            got = cache.global_batch(epoch, idx)
+            want = shard_batch(mesh, next(it))
+            assert got["depth"].sharding == want["depth"].sharding
+            np.testing.assert_array_equal(
+                np.asarray(got["depth"]), np.asarray(want["depth"])
+            )
+    finally:
+        it.close()
+
+
+def test_trainer_steps_bit_identical_with_device_cache(synth_root):
+    """Three full train steps under cache_device=true equal the host
+    path bit for bit (same stream, same state), and a resume-style
+    mid-stream start (device_iter(start_iteration=k)) also agrees."""
+    from dusty_gan_tpu.train.trainer import Trainer
+
+    def run(cache_device):
+        cfg = compose(CONFIG_DIR, TINY + [
+            f"dataset.root={synth_root}",
+            f"cache_device={'true' if cache_device else 'false'}",
+        ])
+        tr = Trainer(cfg, verbose=False)
+        scalars = []
+        di = tr.device_iter(start_iteration=0)
+        for i, batch in zip(range(1, 4), di):
+            scalars.append({k: float(v) for k, v in tr.step(i, batch).items()})
+        return tr, scalars
+
+    tr_host, s_host = run(False)
+    tr_dev, s_dev = run(True)
+    assert tr_dev.device_cache is not None and tr_host.device_cache is None
+    assert s_dev == s_host
+    import jax
+
+    for a, b in zip(jax.tree.leaves(tr_host.state.params_G),
+                    jax.tree.leaves(tr_dev.state.params_G)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # mid-stream start parity (the resume path across a mode switch)
+    b_host = next(tr_host.device_iter(start_iteration=2))
+    b_dev = next(tr_dev.device_iter(start_iteration=2))
+    np.testing.assert_array_equal(
+        np.asarray(b_host["depth"]), np.asarray(b_dev["depth"])
+    )
