@@ -172,10 +172,80 @@ def main(argv=None):
         # the decision (and the exit iteration) is identical pod-wide
         return float(last_scalars["stop/agreed"]) > 0.0
 
-    it = trainer.device_iter()
     t_last = time.perf_counter()
     imgs_per_iter = trainer.batch_size
 
+    def boundary_actions(i, scalars, stats_every):
+        """Logging / images / validation / checkpoint actions due at
+        iteration ``i`` (shared by the per-step and scan-chunk loops)."""
+        nonlocal t_last
+        if not is_main:
+            return
+        step_imgs = i * imgs_per_iter
+        if i % int(ckpt.save_stats) == 0 or i == 1:
+            now = time.perf_counter()
+            sps = imgs_per_iter * stats_every / (now - t_last) if i > 1 else 0.0
+            t_last = now
+            logger.scalars({k: float(v) for k, v in scalars.items()}, step_imgs)
+            if sps:
+                logger.scalar("perf/scans_per_sec", sps, step_imgs)
+            print(f"iter {i}/{total_iteration} "
+                  + " ".join(f"{k.split('/')[-1]}={float(v):.4f}" for k, v in sorted(scalars.items()))
+                  + (f" [{sps:.0f} scans/s]" if sps else ""))
+        if i % int(ckpt.save_image) == 0:
+            log_images("synth", trainer.generate(ema=False), step_imgs)
+        if i % int(ckpt.test) == 0:
+            scores = trainer.validation(max_samples=val_samples)
+            logger.scalars({f"score/{k}": v for k, v in scores.items()}, step_imgs)
+            print("validation:", {k: round(v, 4) for k, v in scores.items()
+                                  if not k.startswith("1-nn-t")})
+        if i % int(ckpt.save_model) == 0:
+            path = trainer.save(osp.join(run_dir, "models"), step_imgs)
+            print("saved:", path)
+
+    # ------------------------------------------------------------------
+    # scan-chunk loop (steps_per_call=K, single-host): K iterations per
+    # device call; only the (K, B) index matrix crosses the wire, so the
+    # wall stays device-bound even over a high-latency host<->chip link.
+    # Boundary actions land exactly because K divides every cadence.
+    K = trainer.steps_per_call
+    if K > 1:
+        for name in ("save_stats", "test", "save_image", "save_model"):
+            c = int(ckpt[name])
+            if c % K:
+                raise ValueError(
+                    f"steps_per_call={K} must divide solver.checkpoint.{name}={c} "
+                    "(boundary actions fire only at chunk ends)")
+        ix = trainer.loader.index_stream(trainer.start_iteration)
+        i = trainer.start_iteration
+        while i < total_iteration:
+            if stop_requested:
+                path = trainer.save(osp.join(run_dir, "models"), i * imgs_per_iter)
+                print(f"SIGTERM: checkpointed at iteration {i}: {path}")
+                if is_main:
+                    logger.close()
+                signal.signal(signal.SIGTERM, prev_handler)
+                return run_dir
+            # a resume from a per-step-mode SIGTERM checkpoint can land off
+            # the K-grid; a shorter first chunk realigns so every later
+            # chunk end hits the boundary-action cadences exactly (costs
+            # one extra compile for the odd shape, once)
+            k = min(K - i % K, total_iteration - i)
+            iters = np.arange(i + 1, i + k + 1, dtype=np.int32)
+            rows = np.stack([
+                trainer.device_cache.global_indices(*next(ix)) for _ in range(k)
+            ])
+            scalars = trainer.step_chunk(iters, rows)
+            i += k
+            boundary_actions(i, scalars, stats_every=int(ckpt.save_stats))
+        if is_main:
+            path = trainer.save(osp.join(run_dir, "models"), total_iteration * imgs_per_iter)
+            print("saved final:", path)
+            logger.close()
+        signal.signal(signal.SIGTERM, prev_handler)
+        return run_dir
+
+    it = trainer.device_iter()
     pending_batch = None
     if multi:
         # compile-then-barrier: each rank AOT-compiles the step for the
@@ -220,7 +290,6 @@ def main(argv=None):
             batch["stop"] = local_stop_flags()  # refresh (also on batch 1)
         scalars = trainer.step(i, batch)
         last_scalars = scalars
-        step_imgs = i * imgs_per_iter
         if profile_dir and i == trainer.start_iteration + 8:
             jax.block_until_ready(scalars)
             jax.profiler.stop_trace()
@@ -231,27 +300,7 @@ def main(argv=None):
             if summary is not None:
                 print(format_summary(summary))
 
-        if is_main:
-            if i % int(ckpt.save_stats) == 0 or i == 1:
-                now = time.perf_counter()
-                sps = imgs_per_iter * int(ckpt.save_stats) / (now - t_last) if i > 1 else 0.0
-                t_last = now
-                logger.scalars({k: float(v) for k, v in scalars.items()}, step_imgs)
-                if sps:
-                    logger.scalar("perf/scans_per_sec", sps, step_imgs)
-                print(f"iter {i}/{total_iteration} "
-                      + " ".join(f"{k.split('/')[-1]}={float(v):.4f}" for k, v in sorted(scalars.items()))
-                      + (f" [{sps:.0f} scans/s]" if sps else ""))
-            if i % int(ckpt.save_image) == 0:
-                log_images("synth", trainer.generate(ema=False), step_imgs)
-            if i % int(ckpt.test) == 0:
-                scores = trainer.validation(max_samples=val_samples)
-                logger.scalars({f"score/{k}": v for k, v in scores.items()}, step_imgs)
-                print("validation:", {k: round(v, 4) for k, v in scores.items()
-                                      if not k.startswith("1-nn-t")})
-            if i % int(ckpt.save_model) == 0:
-                path = trainer.save(osp.join(run_dir, "models"), step_imgs)
-                print("saved:", path)
+        boundary_actions(i, scalars, stats_every=int(ckpt.save_stats))
 
     if is_main:
         path = trainer.save(osp.join(run_dir, "models"), total_iteration * imgs_per_iter)

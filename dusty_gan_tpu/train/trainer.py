@@ -194,6 +194,14 @@ class Trainer:
             policy=self.policy,
         )
         self._jstep = jax.jit(self._train_step, donate_argnums=(0,))
+        # scan-chunk executable (steps_per_call mode): K train steps per
+        # device call, each inner iteration gathering its batch from the
+        # device-resident dataset inside the scan body — only a (K, B)
+        # int32 index matrix crosses the wire per call, so per-call host
+        # dispatch cost amortizes K-fold (over a high-latency link the
+        # per-step path stays dispatch-bound even with cache_device=true)
+        if self.steps_per_call > 1:
+            self._jchunk = jax.jit(self._make_chunk_step(), donate_argnums=(0,))
 
         # state
         self.root_key = jax.random.PRNGKey(int(cfg.get("seed") or 0))
@@ -305,6 +313,55 @@ class Trainer:
         key = jax.random.fold_in(self.root_key, i)
         fn = getattr(self, "_cstep", None) or self._jstep
         self.state, scalars = fn(self.state, batch, key)
+        return scalars
+
+    def _make_chunk_step(self):
+        """K-iteration ``lax.scan`` body for ``steps_per_call`` mode: the
+        exact per-step computation (same gather rows, same
+        ``fold_in(root_key, i)`` key schedule).  Numerically equivalent to
+        K ``step`` calls but not bit-identical — the scanned body compiles
+        to a different XLA program, so reductions inside the R1
+        double-backward associate differently at f32 ulp level
+        (tests/test_device_cache.py quantifies both halves)."""
+        from dusty_gan_tpu.parallel.mesh import batch_sharding
+
+        train_step = self._train_step
+        keys = self.device_cache.keys
+        bsh = batch_sharding(self.mesh)
+
+        def chunk(state, data, idx_mat, iters, root_key):
+            def body(st, per):
+                idx, it = per
+                batch = {
+                    k: jax.lax.with_sharding_constraint(data[k][idx], bsh)
+                    for k in keys
+                }
+                return train_step(st, batch, jax.random.fold_in(root_key, it))
+
+            state, scal_seq = jax.lax.scan(body, state, (idx_mat, iters))
+            # ship back only the LAST iteration's scalars — logging reads
+            # chunk boundaries only, matching the per-step path's cadence
+            return state, jax.tree.map(lambda v: v[-1], scal_seq)
+
+        return chunk
+
+    def step_chunk(self, iters: np.ndarray, idx_mat: np.ndarray):
+        """Run consecutive iterations ``iters`` (1-based like ``step``) in
+        ONE device call; ``idx_mat[j]`` holds the global device-cache row
+        indices of iteration ``iters[j]``'s batch (``(K, B)`` int32 is all
+        that crosses the wire). Returns the last iteration's scalars."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from dusty_gan_tpu.parallel.mesh import DATA_AXIS
+
+        idx = jax.device_put(
+            np.ascontiguousarray(idx_mat, dtype=np.int32),
+            NamedSharding(self.mesh, P(None, DATA_AXIS)),
+        )
+        self.state, scalars = self._jchunk(
+            self.state, self.device_cache._data, idx,
+            np.asarray(iters, np.int32), self.root_key,
+        )
         return scalars
 
     # ------------------------------------------------------------------

@@ -105,9 +105,13 @@ while [ ! -f "$TARGET_CKPT" ]; do
   say "flagship: launching from ${latest:-scratch}"
   # cadence: validation every 10k iters (the reference's, nsgan_eqlr.yaml),
   # checkpoints every 20k so every other validation point is selectable
+  # steps_per_call=500: 500 train iterations per device call (lax.scan over
+  # the device-resident cache) — host dispatch leaves the wall entirely
+  # (measured per-step cache_device path: ~2.9k scans/s; device bound 3.9k)
   nohup python -u -m dusty_gan_tpu.cli.train \
     dataset.root=/tmp/proto5k/data dataset=kitti_odometry model=dusty2_dcgan_eqlr \
-    solver.batch_size=32 cache_device=true run_dir=$RUN total_iterations=781250 \
+    solver.batch_size=32 cache_device=true steps_per_call=500 \
+    run_dir=$RUN total_iterations=781250 \
     validate_samples=128 resume="$latest" \
     solver.checkpoint.save_stats=1000 solver.checkpoint.test=10000 \
     solver.checkpoint.save_image=50000 solver.checkpoint.save_model=20000 \
