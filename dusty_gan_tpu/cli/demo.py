@@ -273,7 +273,8 @@ def main(argv=None):
     pi.add_argument("--index", type=int, default=0)
     pi.add_argument("--corruption", default="none",
                     choices=["none", "additive noise", "low resolution", "dropout",
-                             "closing", "half", "quarter", "vlines"])
+                             "closing", "half", "quarter", "vlines", "hlines",
+                             "random lines"])
     pi.add_argument("--distance", default="l1")  # comma-separated: l1,l2,chamfer
     pi.add_argument("--num-code", type=int, default=1)
     pi.add_argument("--compose-layer", type=int, default=1)

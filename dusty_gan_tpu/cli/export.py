@@ -81,22 +81,36 @@ def main(argv=None):
           f"platforms={','.join(platforms)}, batch={manifest['batch']})")
 
     if not args.no_verify:
-        # reload the serialized artifact and check it reproduces the live
-        # generator bit-for-bit on this host's platform
+        # Reload the serialized artifact and check it reproduces the live
+        # generator.  The two are INDEPENDENTLY COMPILED executables of the
+        # same math: on TPU, fusion differences give bf16-grade numeric
+        # noise, and the DUSty drop mask is a hard threshold (measure *
+        # (logit > 0)), so near-threshold cells legitimately flip between
+        # the two.  Compare mask-aware: high mask agreement + tight depth
+        # agreement on the cells both executables kept.  (On CPU both
+        # compile identically and this is exact.)
         call, _ = load_exported(args.output_dir)
         b = args.batch_size or 2
         z = np.asarray(
             jax.random.normal(jax.random.PRNGKey(0), (b, in_ch)), np.float32
         )
-        got = call(z)
+        got = np.asarray(call(z)["depth"], np.float32)
         gen = make_eval_generator(G, params, fixed_noise, dtype)
         want = np.clip(
             (np.asarray(gen(z)["depth"], np.float32) + 1.0) / 2.0, 0.0, 1.0
         )
-        np.testing.assert_allclose(
-            np.asarray(got["depth"], np.float32), want, atol=1e-6
-        )
-        print(f"verified: artifact == live generator on batch {b}")
+        mask_got, mask_want = got > 0, want > 0
+        agree = float(np.mean(mask_got == mask_want))
+        both = mask_got & mask_want
+        diff = np.abs(got - want)[both]
+        max_diff = float(diff.max()) if diff.size else 0.0
+        mean_diff = float(diff.mean()) if diff.size else 0.0
+        assert agree >= 0.98, f"mask agreement {agree:.4f} < 0.98"
+        assert max_diff <= 0.05, f"max depth diff {max_diff:.4g} > 0.05"
+        assert mean_diff <= 0.005, f"mean depth diff {mean_diff:.4g} > 0.005"
+        print(f"verified: artifact ~= live generator on batch {b} "
+              f"(mask agreement {agree:.4f}, depth max|mean diff "
+              f"{max_diff:.2g}|{mean_diff:.2g})")
     return args.output_dir
 
 

@@ -5,14 +5,22 @@ unit sphere; each point votes for its nearest grid cell; JSD is computed
 between the generated and reference grids' total vote counts
 (jsd.py:109-116 uses the raw counters).
 
-The reference's triple-nested brute-force chunk loop (jsd.py:49-66)
-becomes one batched argmin over the clipped grid, chunked on the point
-axis — the cross term is an MXU matmul.
+The reference's triple-nested brute-force chunk loop (jsd.py:49-66) is an
+O(B*N*G) nearest-neighbour search.  Because the grid is a UNIFORM lattice,
+the nearest cell factorizes per axis: it is just per-axis rounding (ties
+resolved to the lower index, matching argmin-first-occurrence order).  For
+a sphere-clipped grid the rounded cell can fall outside the clipped set
+for the few points hugging the sphere boundary; those (and only those) go
+through an exact argmin over the clipped cells.  This turns a 5000x2048-
+point protocol call from ~10^15 FLOPs (and a >100 GB broadcast when done
+naively on device) into an O(B*N) host pass plus a tiny exact fallback.
+
+``_nearest_cell_bruteforce`` keeps the literal argmin formulation as the
+oracle for the equivalence test (tests/test_metrics.py::TestJSD).
 """
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,35 +37,87 @@ def unit_cube_grid(resolution: int, clip_sphere: bool):
     return jnp.asarray(grid), spacing
 
 
-def _nearest_cell(pcs, grid, chunk: int = 256):
-    """(B,N,3) -> (B,N) indices of nearest grid cells.
-
-    Distances are computed as explicit squared differences (not the
-    ||x||^2+||g||^2-2x.g matmul trick): cell spacing is ~0.037, so f32
-    cancellation in the expanded form flips near-tie assignments and
-    perturbs the metric."""
-
-    def per_chunk(p):
-        d = jnp.sum((p[:, :, None, :] - grid[None, None, :, :]) ** 2, axis=-1)
-        return jnp.argmin(d, axis=-1)
-
-    n = pcs.shape[1]
-    outs = [per_chunk(pcs[:, i : i + chunk]) for i in range(0, n, chunk)]
-    return jnp.concatenate(outs, axis=1)
+_TABLE_CACHE: dict = {}
 
 
-def occupancy_counts(pcs, resolution: int = 28, in_sphere: bool = True):
+def _grid_tables(resolution: int, clip_sphere: bool):
+    """Full-lattice keep-mask and full->clipped index LUT (host, cached)."""
+    k = (resolution, clip_sphere)
+    if k not in _TABLE_CACHE:
+        spacing = 1.0 / float(resolution - 1)
+        steps = np.arange(resolution, dtype=np.float32)
+        gx, gy, gz = np.meshgrid(steps, steps, steps, indexing="ij")
+        grid = (np.stack([gx, gy, gz], axis=-1) * spacing - 0.5).reshape(-1, 3)
+        if clip_sphere:
+            keep = np.linalg.norm(grid, axis=1) <= 0.5
+        else:
+            keep = np.ones(len(grid), dtype=bool)
+        lut = np.cumsum(keep) - 1  # clipped index of each kept full cell
+        for a in (grid, keep, lut):
+            a.setflags(write=False)
+        _TABLE_CACHE[k] = (grid, keep, lut)
+    return _TABLE_CACHE[k]
+
+
+def _nearest_cell(pcs, resolution: int = 28, in_sphere: bool = True):
+    """(B,N,3) -> (B,N) int indices into the (clipped) grid.
+
+    Nearest lattice cell per axis is ``ceil(x - 0.5)`` on the fractional
+    lattice coordinate (= round with ties to the LOWER index, the order
+    ``argmin`` would pick among equidistant cells).  Points whose rounded
+    cell was clipped away fall back to an exact argmin over the kept
+    cells — identical semantics to the brute-force search."""
+    grid, keep, lut = _grid_tables(resolution, in_sphere)
+    p = np.asarray(pcs, dtype=np.float32)
+    x = (p + 0.5) * np.float32(resolution - 1)
+    i = np.clip(np.ceil(x - 0.5).astype(np.int64), 0, resolution - 1)
+    full = (i[..., 0] * resolution + i[..., 1]) * resolution + i[..., 2]
+    idx = lut[full]
+    bad = ~keep[full]
+    if bad.any():
+        pts = p.reshape(-1, 3)[bad.ravel()]
+        clipped = grid[keep]
+        out = np.empty(len(pts), dtype=np.int64)
+        for s in range(0, len(pts), 4096):
+            q = pts[s : s + 4096]
+            d = ((q[:, None, :] - clipped[None, :, :]) ** 2).sum(-1)
+            out[s : s + 4096] = np.argmin(d, axis=1)
+        flat = idx.reshape(-1)
+        flat[bad.ravel()] = out
+        idx = flat.reshape(idx.shape)
+    return idx
+
+
+def _nearest_cell_bruteforce(pcs, grid, chunk: int = 256):
+    """Literal argmin over clipped cells — the test oracle for
+    ``_nearest_cell`` (explicit squared differences, first-index ties)."""
+    pcs = np.asarray(pcs, dtype=np.float32)
+    grid = np.asarray(grid, dtype=np.float32)
+    outs = []
+    for b in range(pcs.shape[0]):
+        row = []
+        for s in range(0, pcs.shape[1], chunk):
+            p = pcs[b, s : s + chunk]
+            d = ((p[:, None, :] - grid[None, :, :]) ** 2).sum(-1)
+            row.append(np.argmin(d, axis=1))
+        outs.append(np.concatenate(row))
+    return np.stack(outs)
+
+
+def occupancy_counts(pcs, resolution: int = 28, in_sphere: bool = True,
+                     need_bernoulli: bool = True):
     """Returns (total vote counts per cell, #clouds hitting each cell)
     == (grid_counters, grid_bernoulli_rvars) of jsd.py:23-87."""
-    grid, _ = unit_cube_grid(resolution, in_sphere)
-    idx = _nearest_cell(pcs, grid)  # (B,N)
-    g = grid.shape[0]
-    counters = jnp.zeros((g,), jnp.float32).at[idx.reshape(-1)].add(1.0)
-    # per-cloud hit indicator via scatter-max of ones
-    hit = jnp.zeros((pcs.shape[0], g), jnp.float32)
-    hit = hit.at[jnp.arange(pcs.shape[0])[:, None], idx].max(1.0)
-    bernoulli = jnp.sum(hit, axis=0)
-    return counters, bernoulli
+    _, keep, _ = _grid_tables(resolution, in_sphere)
+    g = int(keep.sum())
+    idx = _nearest_cell(pcs, resolution, in_sphere)  # (B,N)
+    counters = np.bincount(idx.reshape(-1), minlength=g).astype(np.float32)
+    if not need_bernoulli:
+        return jnp.asarray(counters), None
+    hit = np.zeros((idx.shape[0], g), dtype=bool)
+    hit[np.repeat(np.arange(idx.shape[0]), idx.shape[1]), idx.reshape(-1)] = True
+    bernoulli = hit.sum(axis=0).astype(np.float32)
+    return jnp.asarray(counters), jnp.asarray(bernoulli)
 
 
 def entropy_of_occupancy_grid(pcs, resolution: int, in_sphere: bool = False):
@@ -88,6 +148,8 @@ def jensen_shannon_divergence(p_counts, q_counts, eps: float = 1e-8):
 def compute_jsd(pcs_gen, pcs_ref, resolution: int = 28) -> float:
     """(jsd.py:109-116). Inputs are expected pre-scaled (the callers pass
     points/2 so clouds lie in the unit sphere)."""
-    gen_counts = occupancy_counts(pcs_gen, resolution, True)[0]
-    ref_counts = occupancy_counts(pcs_ref, resolution, True)[0]
+    gen_counts = occupancy_counts(pcs_gen, resolution, True,
+                                  need_bernoulli=False)[0]
+    ref_counts = occupancy_counts(pcs_ref, resolution, True,
+                                  need_bernoulli=False)[0]
     return float(jensen_shannon_divergence(gen_counts, ref_counts))

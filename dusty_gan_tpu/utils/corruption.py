@@ -98,4 +98,10 @@ def apply_corruption(key, dep_ref, mask_ref, corruption: str):
         return dep_ref, corrupt_quarter(mask_ref)
     if corruption == "vlines":
         return dep_ref, sparse_vlines(mask_ref, 1 / 8)
+    if corruption == "hlines":
+        # sparse_hlines at its default rate (demo.py:77-81); the reference's
+        # "low resolution" preset is the same op pinned to rate=1/8
+        return dep_ref, sparse_hlines(mask_ref)
+    if corruption in ("random lines", "random_lines"):
+        return dep_ref, random_lines(key, mask_ref)
     raise NotImplementedError(corruption)

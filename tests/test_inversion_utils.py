@@ -92,11 +92,28 @@ class TestCorruptions:
 
     def test_apply_corruption_dispatch(self):
         for name in ("additive noise", "low resolution", "dropout", "closing",
-                     "half", "quarter", "vlines", "none"):
+                     "half", "quarter", "vlines", "hlines", "random lines",
+                     "none"):
             d, m = C.apply_corruption(self.key, self.depth, self.mask, name)
             assert d.shape == self.depth.shape and m.shape == self.mask.shape
         with pytest.raises(NotImplementedError):
             C.apply_corruption(self.key, self.depth, self.mask, "bogus")
+
+    def test_hlines_and_random_lines(self):
+        """Parity with the reference helpers (demo.py:77-97): hlines keeps
+        every ``skip``-th ROW at the default rate 0.5; random lines zeroes
+        a random (1-rate) fraction of rows wholesale."""
+        _, m = C.apply_corruption(self.key, self.depth, self.mask, "hlines")
+        kept = np.asarray(m)[:, :, :, 0].mean(axis=(0, 2))  # per-row
+        assert set(np.unique(kept)) == {0.0, 1.0}
+        assert (kept[::2] == 1.0).all() and (kept[1::2] == 0.0).all()
+
+        _, m = C.apply_corruption(self.key, self.depth, self.mask,
+                                  "random lines")
+        kept = np.asarray(m)[:, :, :, 0].mean(axis=(0, 2))
+        assert set(np.unique(kept)) <= {0.0, 1.0}
+        # rate=0.5 on 16 rows: int(16 * (1 - 0.5)) = 8 rows zeroed
+        assert int((kept == 0.0).sum()) == 8
 
 
 class TestCheckpointRoundtrip:

@@ -214,6 +214,29 @@ class TestJSD:
         got = compute_jsd(jnp.asarray(a), jnp.asarray(b))
         np.testing.assert_allclose(got, ref_val, rtol=1e-3, atol=1e-5)
 
+    def test_nearest_cell_matches_bruteforce(self):
+        """The per-axis rounding fast path (+ sphere-boundary fallback)
+        assigns every point to exactly the cell the literal argmin over
+        clipped cells would pick — including points hugging the sphere
+        boundary, whose rounded lattice cell was clipped away."""
+        from dusty_gan_tpu.metrics.jsd import (
+            _nearest_cell, _nearest_cell_bruteforce)
+
+        rng = np.random.RandomState(19)
+        bulk = rng.uniform(-0.5, 0.5, (4, 160, 3)).astype(np.float32)
+        bulk *= (np.minimum(0.5 / (np.linalg.norm(bulk, axis=-1,
+                                                  keepdims=True) + 1e-9), 1.0))
+        # shell points at radius 0.47-0.4999: the fallback's home turf
+        dirs = rng.randn(4, 96, 3).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        shell = dirs * rng.uniform(0.47, 0.4999, (4, 96, 1)).astype(np.float32)
+        pcs = np.concatenate([bulk, shell], axis=1)
+        for in_sphere in (True, False):
+            grid, _ = unit_cube_grid(28, in_sphere)
+            fast = _nearest_cell(pcs, 28, in_sphere)
+            brute = _nearest_cell_bruteforce(pcs, np.asarray(grid))
+            np.testing.assert_array_equal(fast, brute)
+
     def test_identical_near_zero(self):
         # the reference's double-epsilon quirk (see jensen_shannon_divergence)
         # biases even identical inputs to ~2e-3; replicate, don't "fix".
