@@ -52,6 +52,10 @@ class EqualLRConv(nn.Module):
     use_bias: bool = False
     gain: float = 1.0
     param_dtype: Any = jnp.float32
+    # pin the conv's XLA precision (TPU's DEFAULT rounds f32 operands to
+    # bf16; image-boundary layers need the full mantissa — see
+    # Discriminator.input_f32)
+    precision: Any = None
 
     @nn.compact
     def __call__(self, x, compute_dtype=None):
@@ -66,6 +70,7 @@ class EqualLRConv(nn.Module):
             window_strides=tuple(self.stride),
             padding="VALID",
             dimension_numbers=DIMS,
+            precision=self.precision,
         )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)

@@ -117,7 +117,12 @@ def make_train_step(
     aug = functools.partial(diff_augment, policy=tuple(augment_policy), p=augment_p)
 
     def apply_d(params, x):
-        return D.apply(params, x.astype(cdt)).reshape(-1)
+        # images reach D in f32: casting the tanh inverse-depth domain to
+        # bf16 quantizes LiDAR range to ~110 levels and erases returns
+        # beyond ~106 m (JSD 0.038 from the cast alone — round-5 diagnosis);
+        # the Discriminator keeps its interior in ``cdt`` and holds only
+        # the input boundary at f32 (Discriminator.input_f32)
+        return D.apply(params, x, compute_dtype=cdt).reshape(-1)
 
     # ------------------------------------------------------------------
     # D phase

@@ -73,6 +73,33 @@ class TestDiscriminatorParity:
             np.asarray(got).ravel(), ref_y.numpy().ravel(), rtol=1e-3, atol=2e-3
         )
 
+    def test_far_field_survives_amp_boundary(self):
+        """Round-5 regression: with the interior in bf16, D must still
+        distinguish a 94 m return (tanh inverse depth -0.9958) from a
+        dropped pixel (-1.0) — a bf16 cast of the IMAGE cannot (both values
+        round onto the 2-level tail of the bf16 grid once the difference
+        falls under the 0.0039 ulp, erasing the far field the reference's
+        fp16 AMP preserves; see Discriminator.input_f32)."""
+        H, W = 64, 256
+        mine = Discriminator(in_ch=1, shape=(H, W))
+        x0 = np.full((1, H, W, 1), -1.0, np.float32)
+        x1 = x0.copy()
+        x1[0, 10:20, 50:200, 0] = -0.9985  # ~110 m: inside bf16's half-ulp of -1
+        params = mine.init(jax.random.PRNGKey(0), jnp.asarray(x0))
+
+        y0 = mine.apply(params, jnp.asarray(x0), compute_dtype=jnp.bfloat16)
+        y1 = mine.apply(params, jnp.asarray(x1), compute_dtype=jnp.bfloat16)
+        assert float(jnp.abs(y1 - y0).max()) > 0.0, (
+            "f32 input boundary lost the far-field signal"
+        )
+
+        # the failure mode this guards against: pre-cast images are blind
+        yq0 = mine.apply(params, jnp.asarray(x0).astype(jnp.bfloat16),
+                         compute_dtype=jnp.bfloat16)
+        yq1 = mine.apply(params, jnp.asarray(x1).astype(jnp.bfloat16),
+                         compute_dtype=jnp.bfloat16)
+        assert float(jnp.abs(yq1 - yq0).max()) == 0.0
+
 
 class TestDUStyParity:
     def test_dusty1_fixed_noise_matches_reference(self, torch, ref_models, ref_dusty):
