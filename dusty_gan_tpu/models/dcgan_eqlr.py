@@ -147,12 +147,14 @@ class Down(nn.Module):
     features: int
     ring: bool = True
     precision: Any = None
+    split_lhs: bool = False
 
     @nn.compact
     def __call__(self, x, compute_dtype=None):
         h = pad_ring(x, 1, horizontal=_hpad_mode(self.ring), vertical="reflect")
         h = EqualLRConv(self.features, (4, 4), (2, 2), use_bias=False,
-                        precision=self.precision)(h, compute_dtype)
+                        precision=self.precision,
+                        split_lhs=self.split_lhs)(h, compute_dtype)
         return FusedLeakyReLU(self.features)(h)
 
 
@@ -165,10 +167,9 @@ class Discriminator(nn.Module):
     train/test floor from the cast alone (round-5 diagnosis; the reference
     trains under fp16 AMP whose 10-bit mantissa is transparent here,
     trainers/dcgan_amp.py). blur_vh is shifts+adds (dtype-preserving) and
-    ``down0`` runs on f32 operands with pinned HIGHEST precision (TPU's
-    DEFAULT f32 conv rounds operands to bf16); the interior, which sees
-    well-scaled activations instead of saturated depths, keeps bf16/MXU
-    speed."""
+    ``down0`` consumes the image through a hi/lo operand split (see
+    ``input_precision``); the interior, which sees well-scaled
+    activations instead of saturated depths, keeps bf16/MXU speed."""
 
     in_ch: int = 1
     ch_base: int = 64
@@ -176,6 +177,15 @@ class Discriminator(nn.Module):
     shape: Sequence[int] = (64, 256)
     ring: bool = True
     input_f32: bool = True
+    # how down0 preserves the image mantissa (measured on v5e, full train
+    # step): "split" (default) decomposes the image into hi/lo bf16
+    # channels with tied kernels — ~16 operand mantissa bits (vs the ~11
+    # the fp16 reference sees) on the plain bf16 MXU path, ~0.3 ms/step
+    # over a blind bf16 cast vs +1.8 ms for Precision.HIGH and +4.1 ms
+    # for HIGHEST.  A lax.Precision value pins the conv's XLA precision
+    # instead (HIGH/HIGHEST; DEFAULT would round the image operand to
+    # bf16 and reintroduce the blindness, so it is never a valid choice).
+    input_precision: Any = "split"
 
     def ch(self, i: int) -> int:
         return min(self.ch_base << i, self.ch_max)
@@ -186,10 +196,28 @@ class Discriminator(nn.Module):
         h = blur_vh(x, self.ring)
         start = 0
         if self.input_f32 and h.dtype == jnp.float32:
-            h = Down(self.ch(0), self.ring, name="down0",
-                     precision=jax.lax.Precision.HIGHEST)(h, None)
-            if compute_dtype is not None:
-                h = h.astype(compute_dtype)
+            if self.input_precision == "split" and compute_dtype is not None:
+                # reduce_precision, NOT an astype round-trip: XLA's
+                # excess-precision folding elides convert(bf16->f32)
+                # pairs, which silently turns the residual into x - x = 0
+                # on TPU (observed; the CPU backend does not fold, so only
+                # a chip run catches it)
+                hi_f32 = jax.lax.reduce_precision(h, 8, 7)  # bf16 grid
+                hi = hi_f32.astype(compute_dtype)  # exact regrid
+                lo = (h - hi_f32).astype(compute_dtype)
+                h = Down(self.ch(0), self.ring, name="down0",
+                         split_lhs=True)(jnp.concatenate([hi, lo], -1),
+                                         compute_dtype)
+            else:
+                # f32 compute (compute_dtype=None): splitting buys nothing,
+                # pin full precision on the f32 operands instead
+                prec = (jax.lax.Precision.HIGHEST
+                        if self.input_precision == "split"
+                        else self.input_precision)
+                h = Down(self.ch(0), self.ring, name="down0",
+                         precision=prec)(h, None)
+                if compute_dtype is not None:
+                    h = h.astype(compute_dtype)
             start = 1
         for idx in range(start, 4):
             h = Down(self.ch(idx), self.ring, name=f"down{idx}")(h, compute_dtype)

@@ -56,15 +56,25 @@ class EqualLRConv(nn.Module):
     # bf16; image-boundary layers need the full mantissa — see
     # Discriminator.input_f32)
     precision: Any = None
+    # the input is a hi/lo operand split: x carries 2*in_ch channels
+    # (hi = bf16(x), lo = bf16(x - hi)), the kernel is built for the TRUE
+    # in_ch and applied tied to both halves — W@(hi+lo) at ~16 operand
+    # mantissa bits on the plain bf16 MXU path (the lhs-only half of what
+    # Precision.HIGH's 3-pass bf16 splitting does, at ~2/3 the cost; the
+    # param tree is identical to the unsplit layer, so checkpoints are
+    # interchangeable)
+    split_lhs: bool = False
 
     @nn.compact
     def __call__(self, x, compute_dtype=None):
         kh, kw = self.kernel
-        in_ch = x.shape[-1]
+        in_ch = x.shape[-1] // (2 if self.split_lhs else 1)
         w = self.param("kernel", _normal_init, (kh, kw, in_ch, self.features), self.param_dtype)
         scale = self.gain / math.sqrt(in_ch * kh * kw)
         dtype = compute_dtype or x.dtype
         w = (w * scale).astype(dtype)
+        if self.split_lhs:
+            w = jnp.concatenate([w, w], axis=2)
         y = jax.lax.conv_general_dilated(
             x.astype(dtype), w,
             window_strides=tuple(self.stride),
