@@ -204,10 +204,13 @@ def main(argv=None):
             print("saved:", path)
 
     # ------------------------------------------------------------------
-    # scan-chunk loop (steps_per_call=K, single-host): K iterations per
-    # device call; only the (K, B) index matrix crosses the wire, so the
-    # wall stays device-bound even over a high-latency host<->chip link.
+    # scan-chunk loop (steps_per_call=K): K iterations per device call;
+    # only the (K, B_local) index matrix crosses the wire, so the wall
+    # stays device-bound even over a high-latency host<->chip link.
     # Boundary actions land exactly because K divides every cadence.
+    # On pods the preemption vote rides the chunk program itself
+    # (scalars["stop/agreed"], read at chunk boundaries — the chunk-mode
+    # analog of the per-step stop vote documented above).
     K = trainer.steps_per_call
     if K > 1:
         for name in ("save_stats", "test", "save_image", "save_model"):
@@ -218,12 +221,49 @@ def main(argv=None):
                     "(boundary actions fire only at chunk ends)")
         ix = trainer.loader.index_stream(trainer.start_iteration)
         i = trainer.start_iteration
+        if multi:
+            # compile-then-barrier, chunk edition: every distinct chunk
+            # length in the schedule is a distinct XLA program with its own
+            # cross-host collective context, created lazily at FIRST
+            # EXECUTION — so compile all of them on every rank, THEN
+            # barrier, so no rank's context-creation wait spans another
+            # rank's compile (the same failure mode precompile_step guards;
+            # a late tail-chunk recompile would reintroduce it mid-run).
+            from dusty_gan_tpu.parallel.mesh import pod_allgather
+
+            k0 = min(K - i % K, total_iteration - i)
+            rem = total_iteration - (i + k0)
+            lengths = {k0}
+            if rem >= K:
+                lengths.add(K)
+            if rem % K:
+                lengths.add(rem % K)
+            b_local = trainer.batch_size // jax.process_count()
+            for k in sorted(lengths):
+                trainer.precompile_chunk(
+                    np.arange(1, k + 1, dtype=np.int32),
+                    np.zeros((k, b_local), np.int32),
+                    local_stop_flags(),
+                )
+            pod_allgather(np.zeros((1,), np.float32))
+        last_scalars = None
         while i < total_iteration:
-            if stop_requested:
-                path = trainer.save(osp.join(run_dir, "models"), i * imgs_per_iter)
-                print(f"SIGTERM: checkpointed at iteration {i}: {path}")
+            if multi:
+                agreed = (last_scalars is not None
+                          and float(last_scalars["stop/agreed"]) > 0.0)
+            else:
+                agreed = bool(stop_requested)
+            if agreed:
                 if is_main:
+                    path = trainer.save(osp.join(run_dir, "models"),
+                                        i * imgs_per_iter)
+                    print(f"SIGTERM: checkpointed at iteration {i}: {path}")
                     logger.close()
+                if multi:
+                    # every rank read the same vote at the same boundary;
+                    # drain local work and let the coordination service's
+                    # shutdown barrier synchronize exit (see per-step path)
+                    jax.block_until_ready(last_scalars)
                 signal.signal(signal.SIGTERM, prev_handler)
                 return run_dir
             # a resume from a per-step-mode SIGTERM checkpoint can land off
@@ -235,7 +275,10 @@ def main(argv=None):
             rows = np.stack([
                 trainer.device_cache.global_indices(*next(ix)) for _ in range(k)
             ])
-            scalars = trainer.step_chunk(iters, rows)
+            scalars = trainer.step_chunk(
+                iters, rows, local_stop_flags() if multi else None
+            )
+            last_scalars = scalars
             i += k
             boundary_actions(i, scalars, stats_every=int(ckpt.save_stats))
         if is_main:

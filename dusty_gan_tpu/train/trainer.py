@@ -172,11 +172,6 @@ class Trainer:
                     "steps_per_call needs cache_device=true (the scan body "
                     "gathers batches from the device-resident dataset)"
                 )
-            if jax.process_count() > 1:
-                raise NotImplementedError(
-                    "steps_per_call rides no per-step stop vote; multihost "
-                    "runs use the per-step path (steps_per_call=0)"
-                )
 
         # jitted step
         loss_weight = {k: float(v) for k, v in dict(cfg.solver.loss).items()}
@@ -329,7 +324,7 @@ class Trainer:
         keys = self.device_cache.keys
         bsh = batch_sharding(self.mesh)
 
-        def chunk(state, data, idx_mat, iters, root_key):
+        def chunk(state, data, idx_mat, iters, root_key, stop_flags):
             def body(st, per):
                 idx, it = per
                 batch = {
@@ -341,26 +336,67 @@ class Trainer:
             state, scal_seq = jax.lax.scan(body, state, (idx_mat, iters))
             # ship back only the LAST iteration's scalars — logging reads
             # chunk boundaries only, matching the per-step path's cadence
-            return state, jax.tree.map(lambda v: v[-1], scal_seq)
+            scal = jax.tree.map(lambda v: v[-1], scal_seq)
+            # pod preemption vote at chunk granularity: the max over the
+            # data-axis-sharded per-device flags compiles into this same
+            # program's collectives, so every rank reads an identical
+            # verdict at the chunk boundary (the per-step path does the
+            # same inside train_step; see cli/train.py stop_agreed)
+            scal["stop/agreed"] = jnp.max(stop_flags)
+            return state, scal
 
         return chunk
 
-    def step_chunk(self, iters: np.ndarray, idx_mat: np.ndarray):
-        """Run consecutive iterations ``iters`` (1-based like ``step``) in
-        ONE device call; ``idx_mat[j]`` holds the global device-cache row
-        indices of iteration ``iters[j]``'s batch (``(K, B)`` int32 is all
-        that crosses the wire). Returns the last iteration's scalars."""
+    def _chunk_args(self, iters: np.ndarray, idx_mat: np.ndarray, stop_flags):
+        """Assemble step_chunk's device operands: the (K, B) index matrix
+        (each process contributes its local column slice on pods) and the
+        per-device stop-flag vector."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from dusty_gan_tpu.parallel.mesh import DATA_AXIS
+        from dusty_gan_tpu.parallel.mesh import DATA_AXIS, batch_sharding
 
-        idx = jax.device_put(
-            np.ascontiguousarray(idx_mat, dtype=np.int32),
-            NamedSharding(self.mesh, P(None, DATA_AXIS)),
-        )
-        self.state, scalars = self._jchunk(
-            self.state, self.device_cache._data, idx,
-            np.asarray(iters, np.int32), self.root_key,
+        sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        loc = np.ascontiguousarray(idx_mat, dtype=np.int32)
+        if jax.process_count() > 1:
+            idx = jax.make_array_from_process_local_data(sh, loc)
+        else:
+            idx = jax.device_put(loc, sh)
+        if stop_flags is None:
+            if not hasattr(self, "_zero_stop"):
+                self._zero_stop = jax.device_put(
+                    np.zeros(self.mesh.devices.size, np.float32),
+                    batch_sharding(self.mesh),
+                )
+            stop_flags = self._zero_stop
+        return idx, np.asarray(iters, np.int32), stop_flags
+
+    def precompile_chunk(self, iters: np.ndarray, idx_mat: np.ndarray,
+                         stop_flags=None):
+        """AOT-compile the chunk executable for this chunk length without
+        executing (the chunk-mode analog of ``precompile_step``: each
+        distinct chunk length is a distinct XLA program with its own
+        cross-host collective context, so pods compile every length the
+        schedule will use and barrier BEFORE the first execution —
+        otherwise compile skew at a late shape change can outlive the
+        collective-context connect timeout)."""
+        idx, it_arr, stop = self._chunk_args(iters, idx_mat, stop_flags)
+        if not hasattr(self, "_cchunk"):
+            self._cchunk = {}
+        self._cchunk[len(it_arr)] = self._jchunk.lower(
+            self.state, self.device_cache._data, idx, it_arr, self.root_key, stop
+        ).compile()
+
+    def step_chunk(self, iters: np.ndarray, idx_mat: np.ndarray,
+                   stop_flags=None):
+        """Run consecutive iterations ``iters`` (1-based like ``step``) in
+        ONE device call; ``idx_mat[j]`` holds this process's device-cache
+        row indices of iteration ``iters[j]``'s batch (``(K, B)`` int32 is
+        all that crosses the wire). Returns the last iteration's scalars
+        (incl. the pod-wide ``stop/agreed`` vote)."""
+        idx, it_arr, stop = self._chunk_args(iters, idx_mat, stop_flags)
+        fn = getattr(self, "_cchunk", {}).get(len(it_arr)) or self._jchunk
+        self.state, scalars = fn(
+            self.state, self.device_cache._data, idx, it_arr, self.root_key, stop
         )
         return scalars
 
@@ -499,6 +535,19 @@ class Trainer:
         scores["jsd"] = compute_jsd(fake_3d / 2.0, real_3d / 2.0)
         scores.update(compute_cov_mmd_1nna(fake_3d, real_3d, 512, ("cd",),
                                            mesh=self.eval_mesh))
+        # drop-mask marginals: the DUSty capability splits into (a) where
+        # points are dropped and (b) where returns land; JSD conflates
+        # both.  Per-elevation-row drop rates isolate (a): if
+        # drop_row_l1 converges while JSD stalls, the gap is in the depth
+        # field, not the mask (round-4 verdict, next-steps #3).  Dropped
+        # pixels sit exactly at drop_const in the tanh domain for both
+        # sides (fetch_reals / DUSty eval-mode hard mask).
+        drop_thr = float(self.cfg.model.gen.drop_const) + 1e-3
+        p_fake = jnp.mean(fake_2d < drop_thr, axis=(0, 2, 3))  # (H,)
+        p_real = jnp.mean(real_2d < drop_thr, axis=(0, 2, 3))
+        scores["drop_rate/fake"] = jnp.mean(p_fake)
+        scores["drop_rate/real"] = jnp.mean(p_real)
+        scores["drop_row_l1"] = jnp.mean(jnp.abs(p_fake - p_real))
         return {k: float(v) for k, v in scores.items()}
 
     # ------------------------------------------------------------------
