@@ -10,7 +10,8 @@ Protocol-scale builds (10k+ scans at 64x2048 on a 1-core host) are
 generation-bound, so the constant per-(h0, w0) ray geometry (pitch/yaw
 grids and their trig products) is computed once and cached, and the
 wall azimuth test uses a real mod-2pi wrap instead of a complex
-exponential round-trip (~6x per-scan speedup, identical geometry).
+exponential round-trip (~6x per-scan speedup, numerically equivalent
+geometry — same-seed rebuilds agree to ulp, not bitwise).
 """
 
 from __future__ import annotations
@@ -31,12 +32,17 @@ def _ray_grids(h0: int, w0: int):
         yaw = np.linspace(np.pi, -np.pi, w0, endpoint=False)[None, :] * np.ones((h0, 1))
         with np.errstate(divide="ignore"):
             ground = np.where(pitch < -1e-3, 1.7 / np.sin(-pitch), np.inf)
-        _GRID_CACHE[key] = (
+        grids = (
             pitch, yaw, ground,
             np.cos(pitch) * np.cos(yaw),  # unit-ray x
             np.cos(pitch) * np.sin(yaw),  # unit-ray y
             np.sin(pitch),                # unit-ray z
         )
+        # callers receive these by reference; freeze so an accidental
+        # in-place edit can't corrupt every later same-resolution build
+        for g in grids:
+            g.setflags(write=False)
+        _GRID_CACHE[key] = grids
     return _GRID_CACHE[key]
 
 
