@@ -24,8 +24,10 @@
 # Stages get 5 attempts (tunnel probes gate each) before being .skip-ed.
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
-OUT=/tmp/round5
-RUN=/tmp/flagship/run
+# overridable so later passes (e.g. a retrained flagship) rerun the whole
+# campaign against a fresh run/output pair without editing this file
+OUT=${OUT:-/tmp/round5}
+RUN=${RUN:-/tmp/flagship/run}
 CFG=$RUN/.hydra/config.yaml
 # the FULL reference schedule: 781,250 iterations x batch 32 = 25M images
 # (configs/solver/nsgan_eqlr.yaml total_kimg 25000) — affordable because
@@ -86,12 +88,12 @@ stage bench_early bench_early
 # Relaunch cli.train from the newest checkpoint (or scratch) until the
 # 5.12M-image checkpoint exists.
 while [ ! -f "$TARGET_CKPT" ]; do
-  pid=$(cat /tmp/flagship/run.pid 2>/dev/null)
+  pid=$(cat $RUN.pid 2>/dev/null)
   if [ -n "$pid" ] && kill -0 "$pid" 2>/dev/null; then
     # self-heal a hung backend init: scalars print every ~1-3 min while
     # actually training, so a log silent for 30 min means the process is
     # wedged in jax.devices()/compile against a dead tunnel
-    age=$(( $(date +%s) - $(stat -c %Y /tmp/flagship/run.log 2>/dev/null || echo 0) ))
+    age=$(( $(date +%s) - $(stat -c %Y $RUN.log 2>/dev/null || echo 0) ))
     if [ "$age" -gt 1800 ]; then
       say "flagship: run.log silent ${age}s — killing wedged pid $pid"
       kill "$pid" 2>/dev/null; sleep 10; kill -9 "$pid" 2>/dev/null
@@ -115,8 +117,8 @@ while [ ! -f "$TARGET_CKPT" ]; do
     validate_samples=128 resume="$latest" \
     solver.checkpoint.save_stats=1000 solver.checkpoint.test=10000 \
     solver.checkpoint.save_image=50000 solver.checkpoint.save_model=20000 \
-    >> /tmp/flagship/run.log 2>&1 &
-  echo $! > /tmp/flagship/run.pid
+    >> $RUN.log 2>&1 &
+  echo $! > $RUN.pid
   sleep 300
 done
 say "flagship: target checkpoint exists"
