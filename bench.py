@@ -240,6 +240,7 @@ def main():
     # deployment-story number.  Guarded: a lowering failure must never
     # cost the driver the headline metric.
     serving_scans_per_sec = None
+    serving_latency_ms = None
     try:
         from dusty_gan_tpu.models.factory import define_G
         from dusty_gan_tpu.utils.export import export_generator
@@ -269,6 +270,36 @@ def main():
             assert np.isfinite(float(jnp.sum(out["depth"])))
             sv_dt = min(sv_dt, (time.perf_counter() - t0) / 8)
         serving_scans_per_sec = round(BATCH / sv_dt, 1)
+
+        # batch-1 request latency — the number a serving story is judged
+        # on.  Two artifacts, two policies: a batch-1 export (the right
+        # deployment for latency-sensitive traffic) and the batch-32
+        # artifact fed one padded request (cli/serve.py's fixed-batch
+        # padding path — its tail cost is the whole batch-32 call).  Each
+        # sample is one call synced by value fetch, so on remote-TPU rigs
+        # the figure includes the host<->device link RTT (it is the
+        # end-to-end latency a client of this host would see).
+        exported1 = export_generator(
+            Gs, sparams, snoise, lidar, in_ch=512, batch_size=1,
+            platforms=(platform,),
+        )
+        art1 = jax.export.deserialize(bytearray(exported1.serialize()))
+        z1 = zs[:1]
+        lat1, lat32 = [], []
+        for art_i, z_i, acc in ((art1, z1, lat1), (art, zs, lat32)):
+            out = art_i.call(z_i)
+            assert np.isfinite(float(jnp.sum(out["depth"])))  # compile
+            for _ in range(40):
+                t0 = time.perf_counter()
+                out = art_i.call(z_i)
+                assert np.isfinite(float(jnp.sum(out["depth"])))
+                acc.append((time.perf_counter() - t0) * 1e3)
+        serving_latency_ms = {
+            "batch1_p50": round(float(np.percentile(lat1, 50)), 2),
+            "batch1_p99": round(float(np.percentile(lat1, 99)), 2),
+            "padded32_p50": round(float(np.percentile(lat32, 50)), 2),
+            "padded32_p99": round(float(np.percentile(lat32, 99)), 2),
+        }
     except Exception as e:
         print(f"bench: serving export path failed ({type(e).__name__}: {e})",
               file=sys.stderr)
@@ -288,6 +319,7 @@ def main():
         "cd_pairs_per_sec": cd_pairs_per_sec,
         "emd_pairs_per_sec": emd_pairs_per_sec,
         "serving_scans_per_sec": serving_scans_per_sec,
+        "serving_latency_ms": serving_latency_ms,
         "variants": variants,
     }))
 
