@@ -100,6 +100,21 @@ class TestDiscriminatorParity:
                          compute_dtype=jnp.bfloat16)
         assert float(jnp.abs(yq1 - yq0).max()) == 0.0
 
+    def test_split_residual_lowered_as_reduce_precision_on_tpu(self):
+        """The hi part of D's hi/lo input split must lower to
+        stablehlo.reduce_precision: an astype(bf16).astype(f32) round-trip
+        is elided by XLA's excess-precision folding ON TPU ONLY, compiling
+        the residual to x - x = 0 (chip-observed; the CPU backend does not
+        fold, so the numerical test above stays green either way).  AOT
+        lowering for the tpu platform needs no TPU."""
+        H, W = 64, 256
+        mine = Discriminator(in_ch=1, shape=(H, W))
+        x = jnp.zeros((1, H, W, 1), jnp.float32)
+        params = mine.init(jax.random.PRNGKey(0), x)
+        f = jax.jit(lambda p, x: mine.apply(p, x, compute_dtype=jnp.bfloat16))
+        txt = f.trace(params, x).lower(lowering_platforms=("tpu",)).as_text()
+        assert "reduce_precision" in txt
+
 
 class TestDUStyParity:
     def test_dusty1_fixed_noise_matches_reference(self, torch, ref_models, ref_dusty):
