@@ -6,8 +6,8 @@
 # checkpoints are gone — the flagship trains FROM SCRATCH, and we use
 # the loss of continuity to fix the judge-diagnosed bottleneck: the
 # round-4 run was data-bound (2,000 scans), so this one trains on the
-# 5,000-scan protocol dataset (25x the 200-scan base), which also makes
-# training and the 5,000-sample eval protocol share one dataset.
+# 19,130-scan set rebuild_tmp.py builds (sized to the real KITTI train
+# split), which also shares one dataset with the 5,000-sample protocol.
 #
 # Sequence:
 #   0. datasets     — rebuild /tmp/proto5k (CPU, no tunnel needed)
