@@ -51,6 +51,17 @@ def main(argv=None):
     parser.add_argument("--cd-batch", type=int, default=512)
     parser.add_argument("--metrics", type=str, default="cd",
                         help="comma list: cd[,emd] (reference protocol: cd)")
+    parser.add_argument("--mask-threshold", type=float, default=0.5,
+                        help="Gumbel keep threshold for the DUSty pixel "
+                             "mask (reference: 0.5)")
+    parser.add_argument("--calibrate-drop-rate", action="store_true",
+                        help="bisect --mask-threshold so the generated "
+                             "drop-rate marginal matches the real train "
+                             "set (post-hoc, like tolerance tuning; see "
+                             "utils/calibration.py)")
+    parser.add_argument("--calib-samples", type=int, default=512,
+                        help="latents used to measure the fake drop rate "
+                             "during calibration")
     parser.add_argument("--multihost", action="store_true",
                         help="pod mode: call jax.distributed.initialize and "
                              "stripe the pairwise matrices across processes "
@@ -207,6 +218,34 @@ def main(argv=None):
     key = jax.random.PRNGKey(0)
     in_ch = int(cfg.model.gen.in_ch)
 
+    # optional post-hoc drop-rate calibration (BASELINE.md round-5b: the
+    # masker overshoots the real drop rate by 3-6 pp and JSD tracks it);
+    # target = the real TRAIN marginal, calibration latents disjoint from
+    # the eval latents below (different PRNG root).  Deterministic, so pod
+    # processes compute the identical threshold redundantly.
+    mask_threshold = float(args.mask_threshold)
+    calib_info = {}
+    if args.calibrate_drop_rate:
+        from dusty_gan_tpu.utils.calibration import (
+            calibrate_mask_threshold, real_drop_rate,
+        )
+
+        target = real_drop_rate(reals["train"]["2d"], drop_const)
+        z_cal = jax.random.normal(
+            jax.random.PRNGKey(0xCA1), (int(args.calib_samples), in_ch)
+        )
+        mask_threshold, achieved = calibrate_mask_threshold(
+            gen, z_cal, target, drop_const, batch=batch_size
+        )
+        calib_info = {
+            "mask_threshold": mask_threshold,
+            "drop_rate/target": target,
+            "drop_rate/calibrated": achieved,
+        }
+        if is_main:
+            print(f"calibrated mask threshold: {mask_threshold:.6f} "
+                  f"(drop rate {achieved:.4f} vs real {target:.4f})")
+
     # one latent per global SAMPLE index (vmapped fold_in), not per
     # padded batch: scores are invariant to device/process count — the
     # mesh-size padding below only edge-copies rows that get trimmed
@@ -222,7 +261,7 @@ def main(argv=None):
             np.pad(z_host, [(0, gen_batch - n), (0, 0)], mode="edge"),
             batch_sharding(mesh),
         )
-        inv = gen(z)["depth"]
+        inv = gen(z, threshold=mask_threshold)["depth"]
         f2.append(np.asarray(inv)[:n])
         f3.append(np.asarray(to_pts(inv, args.tol))[:n])
     fake_2d = jnp.asarray(np.concatenate(f2)[:n_test])
@@ -231,6 +270,12 @@ def main(argv=None):
     scores = score(fake_2d, fake_3d, reals["test"]["2d"], reals["test"]["3d"])
     scores["#test"] = args.num_test
     scores["#points"] = args.num_points
+    if mask_threshold != 0.5 or calib_info:
+        from dusty_gan_tpu.utils.calibration import drop_rate_2d
+
+        scores["drop_rate/fake"] = float(drop_rate_2d(fake_2d, drop_const))
+        scores["mask_threshold"] = mask_threshold
+        scores.update(calib_info)
     if is_main:
         pprint.pprint(scores)
         os.makedirs(args.save_dir_path, exist_ok=True)

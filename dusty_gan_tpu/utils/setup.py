@@ -97,15 +97,22 @@ def setup(
 
 
 def make_eval_generator(G, params, fixed_noise, compute_dtype=jnp.bfloat16):
-    """latent -> output dict, deterministic (fixed noise, eval thresholds)."""
+    """latent -> output dict, deterministic (fixed noise, eval thresholds).
+
+    ``threshold`` is the Gumbel-sigmoid keep threshold (reference default
+    0.5, dusty.py:54-57).  It may be a traced scalar, which makes it an
+    eval-time calibration knob: see ``utils.calibration`` for matching the
+    generated drop-rate marginal to the real one post hoc.
+    """
     apply_g, masked = make_g_apply(G)
     dummy = jax.random.PRNGKey(0)
 
-    def gen(z, train: bool = False):
+    def gen(z, train: bool = False, threshold=0.5):
         if masked:
             return G.apply(
                 {"params": params["params"]} if "params" in params else params,
                 z, compute_dtype=compute_dtype, train=train,
+                threshold=threshold,
                 fixed_noise=fixed_noise,
                 rngs={"gumbel": dummy},
             )

@@ -164,6 +164,29 @@ class TestTrainCLI:
         assert np.isfinite(scores["jsd"])
         assert glob(str(tmp_path / "*.json"))
 
+    def test_evaluate_synthesis_calibrated(self, trained_run, tmp_path,
+                                           monkeypatch):
+        """--calibrate-drop-rate bisects the Gumbel keep threshold so the
+        generated drop-rate marginal matches the real train set
+        (utils/calibration.py; BASELINE.md round-5b JSD diagnosis), then
+        scores with the calibrated threshold and reports it."""
+        from dusty_gan_tpu.cli.evaluate_synthesis import main as eval_main
+
+        monkeypatch.chdir(tmp_path)
+        ckpt = sorted(glob(osp.join(trained_run, "models", "checkpoint_*.ckpt")))[-1]
+        scores = eval_main([
+            "--model-path", ckpt,
+            "--config-path", osp.join(trained_run, ".hydra/config.yaml"),
+            "--save-dir-path", str(tmp_path),
+            "--num-test", "8", "--num-points", "128", "--cd-batch", "8",
+            "--calibrate-drop-rate", "--calib-samples", "8",
+        ])
+        assert 0.0 < scores["mask_threshold"] < 1.0
+        assert np.isfinite(scores["jsd"])
+        # the calibrated fake marginal must sit at least as close to the
+        # real target as the bisection bracket guarantees
+        assert abs(scores["drop_rate/calibrated"] - scores["drop_rate/target"]) < 0.05
+
     def test_evaluate_synthesis_prepare_only(self, trained_run, synth_root,
                                              tmp_path, monkeypatch):
         """--prepare-only builds the content-signed real caches and exits;
