@@ -29,6 +29,11 @@ def main(argv=None):
     parser.add_argument("--tol", type=float, default=0.0,
                         help="projection tolerance baked into the points "
                              "output (tune_tolerance result; 0 keeps all)")
+    parser.add_argument("--mask-threshold", type=float, default=0.5,
+                        help="Gumbel keep threshold baked into the artifact "
+                             "(reference: 0.5; pass a calibrated value from "
+                             "evaluate_synthesis --calibrate-drop-rate to "
+                             "serve the drop-rate-matched generator)")
     parser.add_argument("--batch-size", type=int, default=0,
                         help="fixed batch size; 0 (default) exports a "
                              "symbolic batch dimension")
@@ -61,6 +66,7 @@ def main(argv=None):
         G, params, fixed_noise, lidar, in_ch=in_ch, compute_dtype=dtype,
         tol=args.tol, with_points=not args.no_points,
         batch_size=args.batch_size or None, platforms=platforms,
+        mask_threshold=args.mask_threshold,
     )
     manifest = {
         "arch": str(cfg.model.gen.arch),
@@ -71,6 +77,7 @@ def main(argv=None):
         "max_depth": float(cfg.dataset.max_depth),
         "compute_dtype": args.dtype,
         "tol": args.tol,
+        "mask_threshold": args.mask_threshold,
         "batch": args.batch_size or "dynamic",
         "platforms": list(platforms),
         "with_points": not args.no_points,
@@ -97,7 +104,8 @@ def main(argv=None):
         got = np.asarray(call(z)["depth"], np.float32)
         gen = make_eval_generator(G, params, fixed_noise, dtype)
         want = np.clip(
-            (np.asarray(gen(z)["depth"], np.float32) + 1.0) / 2.0, 0.0, 1.0
+            (np.asarray(gen(z, threshold=args.mask_threshold)["depth"],
+                        np.float32) + 1.0) / 2.0, 0.0, 1.0
         )
         mask_got, mask_want = got > 0, want > 0
         agree = float(np.mean(mask_got == mask_want))

@@ -49,12 +49,18 @@ _DTYPES = {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
 def make_serving_fn(
     G, params, fixed_noise, lidar: Lidar, *,
     compute_dtype=jnp.bfloat16, tol: float = 0.0, with_points: bool = True,
+    mask_threshold: float = 0.5,
 ) -> Callable[[jax.Array], Dict[str, jax.Array]]:
-    """latent (B, in_ch) -> serving output dict (see module docstring)."""
+    """latent (B, in_ch) -> serving output dict (see module docstring).
+
+    ``mask_threshold`` is the Gumbel keep threshold baked into the
+    artifact (reference default 0.5); pass a calibrated value from
+    ``utils.calibration`` to serve the drop-rate-matched generator.
+    """
     gen = make_eval_generator(G, params, fixed_noise, compute_dtype)
 
     def fn(z):
-        out = gen(z)
+        out = gen(z, threshold=mask_threshold)
         inv01 = jnp.clip(tanh_to_sigmoid(out["depth"]), 0.0, 1.0)
         inv01 = inv01.astype(jnp.float32)
         mask = out.get("mask")
@@ -76,6 +82,7 @@ def export_generator(
     in_ch: int, compute_dtype=jnp.bfloat16, tol: float = 0.0,
     with_points: bool = True, batch_size: Optional[int] = None,
     platforms: Tuple[str, ...] = ("tpu", "cpu"),
+    mask_threshold: float = 0.5,
 ):
     """Lower the serving fn to a ``jax.export.Exported``.
 
@@ -85,6 +92,7 @@ def export_generator(
     fn = make_serving_fn(
         G, params, fixed_noise, lidar,
         compute_dtype=compute_dtype, tol=tol, with_points=with_points,
+        mask_threshold=mask_threshold,
     )
     if batch_size is None:
         (b,) = jax.export.symbolic_shape("b")

@@ -90,6 +90,37 @@ class TestExportRoundtrip:
             # masked-out pixels sit at inverse depth 0 (drop_const=-1)
             assert np.all(d[m == 0.0] == 0.0)
 
+    def test_calibrated_threshold_baked_in(self, tmp_path):
+        """A calibrated Gumbel keep threshold (utils/calibration.py) rides
+        into the artifact: the served mask marginal moves monotonically
+        with it, and the artifact matches the live generator at the SAME
+        threshold."""
+        _, G, params, noise, lidar, in_ch = _tiny_setup("dusty2_dcgan_eqlr")
+        z = np.asarray(jax.random.normal(jax.random.PRNGKey(3), (4, in_ch)),
+                       np.float32)
+        kept = {}
+        for thr in (0.2, 0.8):
+            d = str(tmp_path / f"thr{thr}")
+            exported = export_generator(
+                G, params, noise, lidar, in_ch=in_ch,
+                compute_dtype=jnp.float32, batch_size=4, platforms=("cpu",),
+                with_points=False, mask_threshold=thr,
+            )
+            save_exported(exported, d, {"mask_threshold": thr})
+            call, manifest = load_exported(d)
+            assert manifest["mask_threshold"] == thr
+            got = call(z)
+            kept[thr] = float(np.mean(np.asarray(got["mask"])))
+            fn = make_serving_fn(G, params, noise, lidar,
+                                 compute_dtype=jnp.float32,
+                                 with_points=False, mask_threshold=thr)
+            np.testing.assert_allclose(
+                np.asarray(got["depth"]),
+                np.asarray(fn(jnp.asarray(z))["depth"]), atol=1e-6,
+            )
+        # raising the keep threshold keeps fewer pixels
+        assert kept[0.8] < kept[0.2]
+
     def test_baseline_has_ones_mask(self, tmp_path):
         _, G, params, noise, lidar, in_ch = _tiny_setup("dcgan_eqlr")
         exported = export_generator(
